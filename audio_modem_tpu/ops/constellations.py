@@ -1,0 +1,98 @@
+"""Constellation tables + batched map/demap (modem.js:101-150).
+
+TX map: MSB-first bit groups -> point index -> (re, im).
+RX demap: hard-decision nearest-Euclidean point. Re-designed for the MXU:
+argmin_i |y - p_i|^2 == argmin_i (|p_i|^2/2 - Re(y conj(p_i))) — the score for
+every point is one small matmul [..., 2] @ [2, n_points], so a whole batch of
+symbols demaps as a single MXU contraction instead of the reference's scalar
+loop over points (modem.js:140-150). First-minimum tie order matches the
+reference's strict `<` scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Constellation:
+    name: str
+    bps: int
+    # points as [n, 2] float64 (re, im), index = MSB-first packed bits
+    points: tuple[tuple[float, float], ...]
+
+    @property
+    def n_points(self) -> int:
+        return 1 << self.bps
+
+    def points_np(self) -> np.ndarray:
+        return np.asarray(self.points, dtype=np.float64)
+
+
+def _qam16_points() -> tuple[tuple[float, float], ...]:
+    # modem.js:117-129: idx -> (row=idx>>2, col=idx&3), Gray map each axis,
+    # (2*gc-3, 2*gr-3), normalized to unit average power (1/sqrt(10)).
+    pts = []
+    s = 1.0 / math.sqrt(10.0)
+    for i in range(16):
+        row, col = i >> 2, i & 3
+        gr, gc = row ^ (row >> 1), col ^ (col >> 1)
+        pts.append(((2 * gc - 3) * s, (2 * gr - 3) * s))
+    return tuple(pts)
+
+
+_SQ = 1.0 / math.sqrt(2.0)
+
+CONSTELLATIONS: dict[str, Constellation] = {
+    "BPSK": Constellation("BPSK", 1, ((1.0, 0.0), (-1.0, 0.0))),
+    "QPSK": Constellation("QPSK", 2, ((_SQ, _SQ), (-_SQ, _SQ), (-_SQ, -_SQ), (_SQ, -_SQ))),
+    "QAM16": Constellation("QAM16", 4, _qam16_points()),
+}
+
+
+@lru_cache(maxsize=None)
+def _tables(name: str) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Device-side tables: points [n,2] f32, half|p|^2 [n], idx->bits [n,bps]."""
+    c = CONSTELLATIONS[name]
+    pts = c.points_np().astype(np.float32)
+    half_pow = 0.5 * (pts**2).sum(axis=1)
+    idx = np.arange(c.n_points, dtype=np.uint8)
+    shifts = np.arange(c.bps - 1, -1, -1, dtype=np.uint8)
+    bits = ((idx[:, None] >> shifts[None, :]) & 1).astype(np.int8)
+    return jnp.asarray(pts), jnp.asarray(half_pow), jnp.asarray(bits)
+
+
+def map_bits(name: str, bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map MSB-first bits [..., n_sym*bps] -> (re, im) each [..., n_sym].
+
+    Matches constellationMap (modem.js:133-138).
+    """
+    c = CONSTELLATIONS[name]
+    pts, _, _ = _tables(name)
+    *lead, nb = bits.shape
+    groups = bits.reshape(*lead, nb // c.bps, c.bps).astype(jnp.int32)
+    weights = 2 ** jnp.arange(c.bps - 1, -1, -1, dtype=jnp.int32)
+    idx = (groups * weights).sum(axis=-1)
+    mapped = pts[idx]  # [..., n_sym, 2]
+    return mapped[..., 0], mapped[..., 1]
+
+
+def demap(name: str, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-point hard demap -> MSB-first bits [..., n_sym*bps].
+
+    MXU formulation of constellationDemap (modem.js:140-150): one matmul for
+    the cross-term, argmin over points, gather of the per-index bit rows.
+    """
+    c = CONSTELLATIONS[name]
+    pts, half_pow, bit_rows = _tables(name)
+    y = jnp.stack([re, im], axis=-1).astype(jnp.float32)  # [..., 2]
+    # score_i = |p_i|^2/2 - y . p_i ; argmin == nearest-Euclidean first-min
+    cross = jnp.einsum("...c,nc->...n", y, pts, preferred_element_type=jnp.float32)
+    idx = jnp.argmin(half_pow - cross, axis=-1)
+    bits = bit_rows[idx]  # [..., bps]
+    return bits.reshape(*bits.shape[:-2], bits.shape[-2] * c.bps)
