@@ -1,0 +1,169 @@
+"""Full-signal and frame decoders: the receive pipeline as one jitted graph.
+
+Re-design of decodeReceivedSignal (modem.js:557-654) and decodeChunkFrame
+(modem.js:770-803). Everything numeric — preprocessing, coarse Schmidl-Cox
+scan, fine cross-correlation, channel estimation, per-symbol demodulation —
+runs on device in a single compiled executable; only the byte-level payload
+parse stays on host. Signals are zero-padded into static length buckets so a
+handful of executables serve all inputs; the demodulator always processes the
+maximum symbol count for the bucket and the host truncates to the reference's
+floor((n_valid - data_start)/symbol_len) symbol count afterwards, exactly
+reproducing the reference's junk-tail-tolerant behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu import phy, sync
+from audio_modem_tpu.configs import ModemMode
+from audio_modem_tpu.framing import FrameError, ParseResult, parse_payload_bytes
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
+
+PAD_BUCKET = 16384
+
+
+@dataclasses.dataclass
+class DecodeInfo:
+    """Sync/diagnostic metadata attached to every decode."""
+
+    preamble_idx: int
+    coarse_idx: int
+    fine_metric: float
+    channel_mag: np.ndarray | None = None
+
+
+def _bucket_len(n: int) -> int:
+    return -(-max(n, 2 * PAD_BUCKET) // PAD_BUCKET) * PAD_BUCKET
+
+
+def _max_symbols(pad_len: int, mode: ModemMode) -> int:
+    # Upper bound on demodulatable symbols for this bucket (start can be 0).
+    return max((pad_len - 3 * mode.profile.symbol_len) // mode.profile.symbol_len, 1)
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms"))
+def _decode_core(
+    signal: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+):
+    """Device pipeline for one padded signal.
+
+    Returns (coarse_idx, start_idx, fine_metric, bits[max_syms*bps_sym],
+    ch_re, ch_im).
+    """
+    p = mode.profile
+    sym = p.symbol_len
+    sig = sync.preprocess(signal, n_valid)
+
+    coarse, _ = sync.detect_preamble(sig, p, n_valid, min_pos=min_pos)
+    safe_coarse = jnp.maximum(coarse, 0)
+    start, fine_metric = sync.refine_xcorr(sig, safe_coarse, p, n_valid)
+
+    # Extend so CE/data slices are always in bounds regardless of start.
+    ext = jnp.pad(sig, (0, (3 + max_syms) * sym))
+    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+
+    data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (max_syms * sym,))
+    bits = phy.demodulate(data.reshape(max_syms, sym), ch_re, ch_im, mode)
+    return coarse, start, fine_metric, bits, ch_re, ch_im
+
+
+def decode_signal(signal: np.ndarray, mode: ModemMode) -> tuple[ParseResult, DecodeInfo | None]:
+    """Decode a full recorded signal (modem.js:557-654).
+
+    Returns (parse result | FrameError, DecodeInfo | None). Error strings
+    mirror the reference so callers/tests can match on them.
+    """
+    p = mode.profile
+    sym = p.symbol_len
+    n_valid = len(signal)
+    pad_len = _bucket_len(n_valid)
+    max_syms = _max_symbols(pad_len, mode)
+
+    sig = np.zeros(pad_len, np.float32)
+    sig[:n_valid] = signal
+    sig_dev = jnp.asarray(sig)
+
+    # Host retry loop: if xcorr refinement rejects the coarse candidate as a
+    # false positive, resume the scan past it — the one-shot analog of the
+    # streaming receiver's IDLE-state resume (app.js:879-884).
+    min_pos, coarse, start, fine_metric = 0, -1, -1, -np.inf
+    bits = ch_re = ch_im = None
+    for _ in range(4):
+        coarse_t, start_t, metric_t, bits, ch_re, ch_im = _decode_core(
+            sig_dev, jnp.int32(n_valid), jnp.int32(min_pos), mode, max_syms
+        )
+        coarse = int(coarse_t)
+        if coarse < 0:
+            if min_pos == 0:
+                return FrameError("Preamble not detected"), None
+            break
+        start, fine_metric = int(start_t), float(metric_t)
+        if fine_metric >= sync.XCORR_THRESHOLD:
+            break
+        min_pos = coarse + p.fft_size  # skip past the false peak
+    if coarse < 0 or fine_metric < sync.XCORR_THRESHOLD:
+        return FrameError("Preamble not detected (low correlation)"), None
+
+    info = DecodeInfo(
+        preamble_idx=start,
+        coarse_idx=coarse,
+        fine_metric=fine_metric,
+        channel_mag=np.asarray(phy.channel_magnitude(ch_re, ch_im)),
+    )
+
+    ce_start = start + 2 * sym
+    if ce_start + sym > n_valid:
+        return FrameError("Signal too short for CE"), info
+    data_start = ce_start + sym
+    if data_start >= n_valid:
+        return FrameError("No data after CE"), info
+
+    # Reference demodulates floor((len - dataStart)/symbol_len) symbols
+    # (modem.js:368); truncate the fixed-size device output to match.
+    n_sym = (n_valid - data_start) // sym
+    result = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=10)
+    return result, info
+
+
+def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
+    """Decode a frame whose sample 0 is the preamble1 start
+    (modem.js:770-803). Used by the streaming receiver after sync."""
+    p = mode.profile
+    sym = p.symbol_len
+    if 3 * sym > len(frame):
+        return FrameError("Frame too short for CE")
+    n_sym = (len(frame) - 3 * sym) // sym
+    if n_sym <= 0:
+        return FrameError("No data after CE")
+    usable = 3 * sym + n_sym * sym
+    bits = _chunk_core(jnp.asarray(frame[:usable], dtype=jnp.float32), mode, n_sym)
+    return _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _chunk_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    p = mode.profile
+    sym = p.symbol_len
+    ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
+    data = frame[3 * sym :].reshape(n_sym, sym)
+    return phy.demodulate(data, ch_re, ch_im, mode)
+
+
+def _bits_to_parse(bits: np.ndarray, n_sym: int, mode: ModemMode, min_len: int) -> ParseResult:
+    """Truncate to the valid symbol count, undo repetition, pack, parse."""
+    bits = bits[: n_sym * mode.bits_per_symbol]
+    if mode.repetition > 1:
+        bits = majority_vote(bits, mode.repetition)
+    by = bits_to_bytes(bits)
+    return parse_payload_bytes(by, min_len=min_len)

@@ -1,0 +1,239 @@
+"""L3 framing: payload codecs + OFDM frame synthesis + size estimators.
+
+Byte-level protocol work stays on host (it is control-plane, not TPU work);
+waveform synthesis runs on device as one jitted graph per (mode, n_symbols,
+silence) shape class.
+
+Wire formats (big-endian), matching the reference exactly:
+  legacy (modem.js:498-522):  [nameLen:1][name][dataLen:4][data][CRC32:4]
+  meta   (modem.js:666-692):  [0xFE][totalChunks:4][totalFileSize:4]
+                              [chunkSize:2][nameLen:1][name][CRC32:4]
+  data   (modem.js:694-714):  [0xFF][seqNum:4][dataLen:2][data][CRC32:4]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu.configs import FRAME_DATA, FRAME_META, ModemMode
+from audio_modem_tpu import phy
+from audio_modem_tpu.ops.bits import bytes_to_bits, repeat_bits
+from audio_modem_tpu.ops.crc32 import crc32
+
+# ---------------- payload codecs (host) ----------------
+
+
+def _be32(v: int) -> bytes:
+    return int(v).to_bytes(4, "big")
+
+
+def _be16(v: int) -> bytes:
+    return int(v).to_bytes(2, "big")
+
+
+def build_legacy_payload(file_data: bytes, file_name: str) -> bytes:
+    name = (file_name or "file").encode("utf-8")[:255]
+    body = bytes([len(name)]) + name + _be32(len(file_data)) + bytes(file_data)
+    return body + _be32(crc32(body))
+
+
+def build_metadata_payload(total_chunks: int, total_file_size: int, chunk_size: int, file_name: str) -> bytes:
+    name = (file_name or "file").encode("utf-8")[:255]
+    body = bytes([FRAME_META]) + _be32(total_chunks) + _be32(total_file_size) + _be16(chunk_size) + bytes([len(name)]) + name
+    return body + _be32(crc32(body))
+
+
+def build_data_chunk_payload(chunk: bytes, seq_num: int) -> bytes:
+    body = bytes([FRAME_DATA]) + _be32(seq_num) + _be16(len(chunk)) + bytes(chunk)
+    return body + _be32(crc32(body))
+
+
+@dataclasses.dataclass
+class LegacyFrame:
+    file_name: str
+    data: bytes
+    crc_valid: bool
+    expected_crc: int
+    actual_crc: int
+    frame_type: str = "legacy"
+
+
+@dataclasses.dataclass
+class MetaFrame:
+    total_chunks: int
+    total_file_size: int
+    chunk_size: int
+    file_name: str
+    crc_valid: bool
+    frame_type: int = FRAME_META
+
+
+@dataclasses.dataclass
+class DataFrame:
+    seq_num: int
+    data: bytes
+    crc_valid: bool
+    frame_type: int = FRAME_DATA
+
+
+@dataclasses.dataclass
+class FrameError:
+    error: str
+
+
+ParseResult = LegacyFrame | MetaFrame | DataFrame | FrameError
+
+
+def parse_metadata(by: bytes) -> MetaFrame | FrameError:
+    """modem.js:805-828."""
+    if len(by) < 16:
+        return FrameError("Metadata frame too short")
+    total_chunks = int.from_bytes(by[1:5], "big")
+    total_size = int.from_bytes(by[5:9], "big")
+    chunk_size = int.from_bytes(by[9:11], "big")
+    name_len = by[11]
+    off = 12 + name_len
+    if off + 4 > len(by):
+        return FrameError("Metadata frame truncated")
+    name = by[12:off].decode("utf-8", errors="replace")
+    expected = int.from_bytes(by[off : off + 4], "big")
+    return MetaFrame(total_chunks, total_size, chunk_size, name, expected == crc32(by[:off]))
+
+
+def parse_data_chunk(by: bytes) -> DataFrame | FrameError:
+    """modem.js:830-849."""
+    if len(by) < 11:
+        return FrameError("Data chunk frame too short")
+    seq = int.from_bytes(by[1:5], "big")
+    dlen = int.from_bytes(by[5:7], "big")
+    off = 7 + dlen
+    if off + 4 > len(by):
+        return FrameError("Data chunk truncated")
+    data = by[7:off]
+    expected = int.from_bytes(by[off : off + 4], "big")
+    return DataFrame(seq, data, expected == crc32(by[:off]))
+
+
+def parse_legacy(by: bytes) -> LegacyFrame | FrameError:
+    """modem.js:622-653."""
+    if len(by) < 10:
+        return FrameError("Decoded data too short")
+    name_len = by[0]
+    off = 1 + name_len
+    if off + 8 > len(by):
+        return FrameError("Decoded data too short for header")
+    name = by[1:off].decode("utf-8", errors="replace")
+    dlen = int.from_bytes(by[off : off + 4], "big")
+    off += 4
+    if dlen <= 0 or off + dlen + 4 > len(by):
+        return FrameError(f"Invalid data length: {dlen}")
+    data = by[off : off + dlen]
+    off += dlen
+    expected = int.from_bytes(by[off : off + 4], "big")
+    actual = crc32(by[:off])
+    return LegacyFrame(name, data, expected == actual, expected, actual)
+
+
+def parse_payload_bytes(by: bytes, min_len: int = 10) -> ParseResult:
+    """Dispatch on the first byte (modem.js:609-621, 795-802)."""
+    if len(by) < min_len:
+        return FrameError("Decoded data too short")
+    if by[0] == FRAME_META:
+        return parse_metadata(by)
+    if by[0] == FRAME_DATA:
+        return parse_data_chunk(by)
+    return parse_legacy(by)
+
+
+# ---------------- bits preparation (host) ----------------
+
+
+def payload_to_bits(payload: bytes, mode: ModemMode) -> np.ndarray:
+    """bytes -> repetition-coded bits, zero-padded to a symbol multiple
+    (modem.js:524-526, 329)."""
+    bits = bytes_to_bits(payload)
+    if mode.repetition > 1:
+        bits = repeat_bits(bits, mode.repetition)
+    pad = (-len(bits)) % mode.bits_per_symbol
+    if pad:
+        bits = np.concatenate([bits, np.zeros(pad, dtype=bits.dtype)])
+    return bits
+
+
+def num_symbols_for_payload(payload_bytes: int, mode: ModemMode) -> int:
+    """ceil(bits / bitsPerSymbol) (modem.js:866-869)."""
+    total_bits = payload_bytes * 8 * mode.repetition
+    return -(-total_bits // mode.bits_per_symbol)
+
+
+def estimate_frame_samples(payload_bytes: int, mode: ModemMode) -> int:
+    """(3 header symbols + data symbols) * symbol_len (modem.js:863-874)."""
+    return (3 + num_symbols_for_payload(payload_bytes, mode)) * mode.profile.symbol_len
+
+
+def estimate_frame_samples_with_silence(payload_bytes: int, mode: ModemMode, is_first_frame: bool) -> int:
+    """modem.js:876-884."""
+    p = mode.profile
+    return (
+        p.silence_pre_chunk(is_first_frame)
+        + estimate_frame_samples(payload_bytes, mode)
+        + p.silence_post_chunk()
+    )
+
+
+# ---------------- frame synthesis (device) ----------------
+
+
+@partial(jax.jit, static_argnames=("mode", "silence_pre", "silence_post"))
+def _synth_frame(bits: jnp.ndarray, mode: ModemMode, silence_pre: int, silence_post: int) -> jnp.ndarray:
+    """bits [n_sym*bits_per_symbol] -> full frame signal, peak-normed to 0.8.
+
+    Layout silence|pre1|pre2|CE|data|silence and uniform normalization match
+    modem.js:529-553 (normalizing the whole signal at once is what keeps the
+    channel estimate consistent with the data symbols).
+    """
+    p = mode.profile
+    syms = phy.modulate(bits, mode)  # [n_sym, symbol_len]
+    sig = jnp.concatenate(
+        [
+            jnp.zeros(silence_pre, jnp.float32),
+            jnp.asarray(p.preamble1),
+            jnp.asarray(p.preamble2),
+            jnp.asarray(p.ce_symbol),
+            syms.reshape(-1),
+            jnp.zeros(silence_post, jnp.float32),
+        ]
+    )
+    mx = jnp.abs(sig).max()
+    return jnp.where(mx > 0, sig * (0.8 / jnp.where(mx > 0, mx, 1.0)), sig)
+
+
+def synthesize_frame(payload: bytes, mode: ModemMode, silence_pre: int, silence_post: int) -> np.ndarray:
+    bits = payload_to_bits(payload, mode)
+    return np.asarray(_synth_frame(jnp.asarray(bits), mode, silence_pre, silence_post))
+
+
+def build_transmit_signal(file_data: bytes, mode: ModemMode, file_name: str) -> np.ndarray:
+    """Legacy single-frame TX (modem.js:498-555)."""
+    p = mode.profile
+    payload = build_legacy_payload(file_data, file_name)
+    return synthesize_frame(payload, mode, p.silence_pre_legacy(), p.silence_post_legacy())
+
+
+def build_metadata_frame(total_chunks: int, total_file_size: int, chunk_size: int, file_name: str, mode: ModemMode) -> np.ndarray:
+    """modem.js:758-761."""
+    p = mode.profile
+    payload = build_metadata_payload(total_chunks, total_file_size, chunk_size, file_name)
+    return synthesize_frame(payload, mode, p.silence_pre_chunk(True), p.silence_post_chunk())
+
+
+def build_data_chunk_frame(chunk: bytes, seq_num: int, mode: ModemMode) -> np.ndarray:
+    """modem.js:763-766."""
+    p = mode.profile
+    payload = build_data_chunk_payload(chunk, seq_num)
+    return synthesize_frame(payload, mode, p.silence_pre_chunk(False), p.silence_post_chunk())

@@ -56,15 +56,15 @@ CONSTELLATIONS: dict[str, Constellation] = {
 
 
 @lru_cache(maxsize=None)
-def _tables(name: str) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Device-side tables: points [n,2] f32, half|p|^2 [n], idx->bits [n,bps]."""
+def _tables(name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Constant tables: points [n,2] f32, half|p|^2 [n], idx->bits [n,bps]."""
     c = CONSTELLATIONS[name]
     pts = c.points_np().astype(np.float32)
     half_pow = 0.5 * (pts**2).sum(axis=1)
     idx = np.arange(c.n_points, dtype=np.uint8)
     shifts = np.arange(c.bps - 1, -1, -1, dtype=np.uint8)
     bits = ((idx[:, None] >> shifts[None, :]) & 1).astype(np.int8)
-    return jnp.asarray(pts), jnp.asarray(half_pow), jnp.asarray(bits)
+    return pts, half_pow.astype(np.float32), bits
 
 
 def map_bits(name: str, bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -78,7 +78,7 @@ def map_bits(name: str, bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     groups = bits.reshape(*lead, nb // c.bps, c.bps).astype(jnp.int32)
     weights = 2 ** jnp.arange(c.bps - 1, -1, -1, dtype=jnp.int32)
     idx = (groups * weights).sum(axis=-1)
-    mapped = pts[idx]  # [..., n_sym, 2]
+    mapped = jnp.asarray(pts)[idx]  # [..., n_sym, 2]
     return mapped[..., 0], mapped[..., 1]
 
 
@@ -93,6 +93,6 @@ def demap(name: str, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     y = jnp.stack([re, im], axis=-1).astype(jnp.float32)  # [..., 2]
     # score_i = |p_i|^2/2 - y . p_i ; argmin == nearest-Euclidean first-min
     cross = jnp.einsum("...c,nc->...n", y, pts, preferred_element_type=jnp.float32)
-    idx = jnp.argmin(half_pow - cross, axis=-1)
-    bits = bit_rows[idx]  # [..., bps]
+    idx = jnp.argmin(jnp.asarray(half_pow) - cross, axis=-1)
+    bits = jnp.asarray(bit_rows)[idx]  # [..., bps]
     return bits.reshape(*bits.shape[:-2], bits.shape[-2] * c.bps)

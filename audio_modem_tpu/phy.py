@@ -1,0 +1,137 @@
+"""L2 OFDM PHY: batched modulate / demodulate / channel estimation.
+
+Re-design of modem.js:322-440 for TPU: every function is pure, shape-static,
+batched over a leading symbol (and optionally frame/stream) axis, and built
+from MXU contractions (active-bin DFT, constellation demap-as-matmul). No
+per-subcarrier Python loops anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu.configs import ModemMode, OfdmProfile
+from audio_modem_tpu.ops import constellations as con
+from audio_modem_tpu.ops.dft import spec_to_time, time_to_spec
+
+
+@lru_cache(maxsize=None)
+def _bin_tables(profile: OfdmProfile) -> dict:
+    """Index tables over the active-bin axis (numpy: jit lifts per-trace)."""
+    pilot_mask = profile.pilot_mask_active
+    return {
+        "pilot_mask": pilot_mask,
+        "data_pos": np.nonzero(~pilot_mask)[0],
+        "pilot_pos": np.nonzero(pilot_mask)[0],
+        "ce_known": profile.ce_known_signs.astype(np.float32),
+    }
+
+
+def add_cp(body: jnp.ndarray, profile: OfdmProfile) -> jnp.ndarray:
+    """[..., fft_size] -> [..., symbol_len] (modem.js:202-208)."""
+    return jnp.concatenate([body[..., -profile.cp_len :], body], axis=-1)
+
+
+def strip_cp(symbols: jnp.ndarray, profile: OfdmProfile) -> jnp.ndarray:
+    """[..., symbol_len] -> [..., fft_size] (modem.js:374-378)."""
+    return symbols[..., profile.cp_len : profile.cp_len + profile.fft_size]
+
+
+def modulate(bits: jnp.ndarray, mode: ModemMode) -> jnp.ndarray:
+    """Bits [..., n_sym * bits_per_symbol] -> samples [..., n_sym, symbol_len].
+
+    Matches modulateOFDM (modem.js:322-362): pilots = 1+0j, data bins mapped
+    MSB-first onto the constellation, Hermitian IFFT, cyclic prefix. Bits must
+    be pre-padded to a symbol multiple (jit needs static shapes; the host
+    framing layer pads, mirroring modem.js:329).
+    """
+    p = mode.profile
+    tabs = _bin_tables(p)
+    *lead, nb = bits.shape
+    n_sym = nb // mode.bits_per_symbol
+    grouped = bits.reshape(*lead, n_sym, mode.bits_per_symbol)
+    data_re, data_im = con.map_bits(mode.constellation, grouped)  # [..., n_sym, n_data]
+
+    shape = (*lead, n_sym, p.num_active_subs)
+    spec_re = jnp.zeros(shape, jnp.float32).at[..., tabs["data_pos"]].set(data_re)
+    spec_re = spec_re.at[..., tabs["pilot_pos"]].set(1.0)
+    spec_im = jnp.zeros(shape, jnp.float32).at[..., tabs["data_pos"]].set(data_im)
+
+    body = spec_to_time(spec_re, spec_im, p)
+    return add_cp(body, p)
+
+
+def estimate_channel(ce_samples: jnp.ndarray, profile: OfdmProfile) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CE symbol [..., symbol_len] -> channel (re, im) on active bins.
+
+    modem.js:421-440 with known X = ±1 real: H = Y * conj(X)/|X|^2 = Y * X.
+    """
+    body = strip_cp(ce_samples, profile)
+    y_re, y_im = time_to_spec(body, profile)
+    known = _bin_tables(profile)["ce_known"]
+    return y_re * known, y_im * known
+
+
+def equalize(
+    spec_re: jnp.ndarray,
+    spec_im: jnp.ndarray,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One-tap ZF EQ with tiny-|H| passthrough (modem.js:384-394)."""
+    h_mag = ch_re * ch_re + ch_im * ch_im
+    ok = h_mag > 1e-10
+    denom = jnp.where(ok, h_mag, 1.0)
+    eq_re = jnp.where(ok, (spec_re * ch_re + spec_im * ch_im) / denom, spec_re)
+    eq_im = jnp.where(ok, (spec_im * ch_re - spec_re * ch_im) / denom, spec_im)
+    return eq_re, eq_im
+
+
+def pilot_phase(eq_re: jnp.ndarray, eq_im: jnp.ndarray, profile: OfdmProfile) -> jnp.ndarray:
+    """Small-angle common-phase estimate from pilots (modem.js:397-405).
+
+    phase = mean over usable pilots of Im/Re, usable = |Re| > 1e-6.
+    Returns [...] (one scalar per symbol in the batch).
+    """
+    pos = _bin_tables(profile)["pilot_pos"]
+    pr, pi = eq_re[..., pos], eq_im[..., pos]
+    usable = jnp.abs(pr) > 1e-6
+    ratio = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
+    cnt = usable.sum(axis=-1)
+    return jnp.where(cnt > 0, ratio.sum(axis=-1) / jnp.maximum(cnt, 1), 0.0)
+
+
+def demodulate(
+    symbols: jnp.ndarray,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+    mode: ModemMode,
+) -> jnp.ndarray:
+    """Symbols [..., n_sym, symbol_len] -> hard bits [..., n_sym*bits_per_symbol].
+
+    Matches demodulateOFDM (modem.js:365-418): strip CP, active-bin DFT,
+    one-tap EQ, pilot common-phase rotation (cr, ci) = (re + im*phi, im - re*phi),
+    nearest-point demap. ch_* broadcast over the symbol axis.
+    """
+    p = mode.profile
+    tabs = _bin_tables(p)
+    body = strip_cp(symbols, p)
+    spec_re, spec_im = time_to_spec(body, p)
+    eq_re, eq_im = equalize(spec_re, spec_im, ch_re[..., None, :], ch_im[..., None, :])
+    phi = pilot_phase(eq_re, eq_im, p)[..., None]
+
+    pos = tabs["data_pos"]
+    dr, di = eq_re[..., pos], eq_im[..., pos]
+    cr = dr + di * phi
+    ci = di - dr * phi
+    bits = con.demap(mode.constellation, cr, ci)  # [..., n_sym, n_data*bps]
+    *lead, n_sym, per = bits.shape
+    return bits.reshape(*lead, n_sym * per)
+
+
+def channel_magnitude(ch_re: jnp.ndarray, ch_im: jnp.ndarray) -> jnp.ndarray:
+    """|H| per active bin (diagnostics; modem.js:1025-1029)."""
+    return jnp.sqrt(ch_re * ch_re + ch_im * ch_im)

@@ -1,0 +1,174 @@
+"""Preamble synchronization: Schmidl-Cox autocorrelation + xcorr refinement.
+
+Re-design of modem.js:235-319 and the fine search of modem.js:567-588 for
+TPU. The reference's O(1)-per-sample sliding recurrences are sequential; here
+every window sum is computed independently via a windowed-sum convolution
+(ones kernel), which XLA lowers to fused vector ops — fully parallel over
+positions, streams and frames, and numerically safer than long-range cumsum
+differences in float32 (no catastrophic cancellation across the signal).
+
+All functions take a traced ``n_valid`` so one compiled executable serves any
+signal length within a padding bucket.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu.configs import OfdmProfile
+
+# Detection thresholds (modem.js:306,318 / app.js:801,826)
+AUTOCORR_THRESHOLD = 0.5
+AUTOCORR_MIN_ENERGY = 0.01
+XCORR_THRESHOLD = 0.1
+XCORR_MIN_DENOM = 0.001
+
+
+def windowed_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Sliding-window sum over the last axis, 'valid' mode.
+
+    [..., T] -> [..., T - window + 1] via conv with a ones kernel.
+    """
+    *lead, t = x.shape
+    flat = x.reshape(-1, 1, t).astype(jnp.float32)
+    kernel = jnp.ones((1, 1, window), jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kernel,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(*lead, t - window + 1)
+
+
+def preprocess(signal: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """DC removal + unit-peak normalization over the valid region
+    (modem.js:213-232), keeping zero padding at zero.
+
+    ``n_valid`` broadcasts against the leading (batch) dims of ``signal``.
+    """
+    t = signal.shape[-1]
+    nv = jnp.asarray(n_valid)[..., None]  # [..., 1]
+    mask = jnp.arange(t) < nv
+    sig = jnp.where(mask, signal, 0.0).astype(jnp.float32)
+    mean = sig.sum(axis=-1, keepdims=True) / jnp.maximum(nv.astype(jnp.float32), 1.0)
+    out = jnp.where(mask, sig - mean, 0.0)
+    mx = jnp.abs(out).max(axis=-1, keepdims=True)
+    scale = jnp.where(mx > 1e-6, 1.0 / jnp.where(mx > 1e-6, mx, 1.0), 1.0)
+    return out * scale
+
+
+def detect_preamble(
+    signal: jnp.ndarray,
+    profile: OfdmProfile,
+    n_valid: jnp.ndarray,
+    min_pos: jnp.ndarray | int = 0,
+    min_energy: float = AUTOCORR_MIN_ENERGY,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse Schmidl-Cox scan, batched over [..., T].
+
+    Metric P^2/(Ra*Rb) (sign-insensitive Pearson r^2 — required because
+    acoustic/narrowband preambles are anti-periodic, SURVEY §2 #10), windows
+    per modem.js:286-314.
+
+    Peak selection deliberately uses the reference's STREAMING semantics
+    (app.js:829-839) — commit the first peak > 0.5 once the metric falls
+    below 0.7x its running max — instead of the global argmax of
+    modem.js:304-318. The global argmax is a documented reference bug:
+    payloads with long zero-bit runs (e.g. the big-endian length/seq fields)
+    under repetition coding yield IDENTICAL consecutive OFDM symbols whose
+    lag-256 correlation is exactly 1.0, strictly above the true preamble's
+    post-preprocessing metric, so the reference's manual-receive path
+    mis-syncs on its own signals. First-peak commit decodes everything the
+    reference encodes (the preamble always precedes data) and matches its
+    real-time receiver.
+
+    ``min_pos`` masks positions before it (used for host-side retry after a
+    refinement false-positive). Returns (best_idx int32 [...], best_metric
+    f32 [...]); best_idx = -1 when best_metric <= 0.5.
+    """
+    half = profile.fft_size // 2
+    t = signal.shape[-1]
+    n_pos = t - 2 * half + 1
+    s = signal.astype(jnp.float32)
+
+    prod = s[..., : t - half] * s[..., half:]
+    p = windowed_sum(prod, half)[..., :n_pos]
+    e = windowed_sum(s * s, half)
+    ra = e[..., :n_pos]
+    rb = e[..., half : half + n_pos]
+
+    d = jnp.arange(n_pos)
+    in_range = (d <= (jnp.asarray(n_valid)[..., None] - 2 * half)) & (
+        d >= jnp.asarray(min_pos)[..., None]
+    )
+    energetic = (ra > min_energy) & (rb > min_energy)
+    valid = in_range & energetic
+    metric = jnp.where(valid, (p * p) / jnp.where(valid, ra * rb, 1.0), 0.0)
+
+    # First-peak commit: stop at the first position where the metric has
+    # dropped below 0.7x the running max (and the running max cleared the
+    # detection threshold); take the argmax of the prefix up to that point.
+    runmax = jax.lax.cummax(metric, axis=metric.ndim - 1)
+    drop = (runmax > AUTOCORR_THRESHOLD) & (metric < 0.7 * runmax)
+    has_drop = drop.any(axis=-1)
+    first_drop = jnp.where(has_drop, jnp.argmax(drop, axis=-1), n_pos - 1)
+    prefix = jnp.where(d <= first_drop[..., None], metric, 0.0)
+    best = prefix.max(axis=-1)
+    idx = prefix.argmax(axis=-1).astype(jnp.int32)
+    return jnp.where(best > AUTOCORR_THRESHOLD, idx, -1), best
+
+
+@lru_cache(maxsize=None)
+def _template(profile: OfdmProfile) -> tuple[np.ndarray, float]:
+    pre1 = profile.preamble1
+    t_energy = float((pre1.astype(np.float64) ** 2).sum())
+    return pre1, t_energy
+
+
+def refine_xcorr(
+    signal: jnp.ndarray,
+    coarse_idx: jnp.ndarray,
+    profile: OfdmProfile,
+    n_valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fine normalized cross-correlation around ``coarse_idx``
+    (modem.js:567-588): d in [max(0, c-3CP), min(n_valid-plen, c+3CP)].
+
+    Single-signal version (no leading batch axis). The caller must ensure the
+    padded signal extends at least ``2*radius + 2*symbol_len`` past n_valid so
+    all slices are static-size and in bounds.
+
+    Returns (start_idx int32, best_metric f32); start_idx falls back to
+    coarse_idx when no position has sufficient energy, like the reference.
+    """
+    pre1, t_energy = _template(profile)
+    plen = profile.symbol_len
+    radius = 3 * profile.cp_len
+    n_off = 2 * radius + 1
+    region_len = n_off + plen - 1
+
+    lo = jnp.clip(coarse_idx - radius, 0, None).astype(jnp.int32)
+    hi = jnp.minimum(n_valid - plen, coarse_idx + radius)
+
+    region = jax.lax.dynamic_slice(signal, (lo,), (region_len,)).astype(jnp.float32)
+    # windows[i, j] = region[i + j] -> corr as one matvec on the MXU
+    gather_idx = jnp.arange(n_off)[:, None] + jnp.arange(plen)[None, :]
+    windows = region[gather_idx]
+    corr = windows @ pre1
+    s_energy = windowed_sum(region * region, plen)
+    denom = jnp.sqrt(s_energy * t_energy)
+
+    d_global = lo + jnp.arange(n_off)
+    ok = (denom > XCORR_MIN_DENOM) & (d_global <= hi)
+    metric = jnp.where(ok, corr / jnp.where(ok, denom, 1.0), -jnp.inf)
+
+    best = metric.max()
+    best_idx = jnp.where(jnp.isfinite(best), (lo + metric.argmax()).astype(jnp.int32), coarse_idx)
+    return best_idx, best

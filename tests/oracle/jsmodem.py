@@ -199,8 +199,17 @@ def preprocess_signal(signal: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def detect_preamble(signal: np.ndarray, p: OfdmProfile) -> int:
-    """modem.js:286-319 — sliding Schmidl-Cox autocorrelation, argmax of r^2."""
+def detect_preamble(signal: np.ndarray, p: OfdmProfile, first_peak: bool = True) -> int:
+    """Sliding Schmidl-Cox autocorrelation (modem.js:286-319).
+
+    ``first_peak=True`` (default) applies the streaming receiver's
+    first-peak-with-hysteresis commit (app.js:829-839): stop at the first
+    position where the metric drops below 0.7x the running max after the
+    threshold was cleared. ``first_peak=False`` reproduces the manual path's
+    global argmax (modem.js:304-318), which mis-syncs on payloads whose
+    zero-bit runs produce identical consecutive OFDM symbols (metric exactly
+    1.0 inside the data region) — kept to document that reference bug.
+    """
     half = p.fft_size // 2
     s = signal.astype(np.float64)
     n = len(s)
@@ -217,7 +226,14 @@ def detect_preamble(signal: np.ndarray, p: OfdmProfile) -> int:
     Rb = cs[d + 2 * half] - cs[d + half]
     valid = (Ra > 0.01) & (Rb > 0.01)
     metric = np.where(valid, (P * P) / np.where(valid, Ra * Rb, 1.0), 0.0)
-    best = metric.max() if n_pos else 0.0
+    if n_pos == 0:
+        return -1
+    if first_peak:
+        runmax = np.maximum.accumulate(metric)
+        drop = (runmax > 0.5) & (metric < 0.7 * runmax)
+        end = int(np.argmax(drop)) if drop.any() else n_pos - 1
+        metric = metric[: end + 1]
+    best = metric.max()
     if best <= 0.5:
         return -1
     return int(metric.argmax())
