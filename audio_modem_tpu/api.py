@@ -1,0 +1,97 @@
+"""Public API: encode / decode surface mirroring the reference app layer.
+
+Mirrors the reference's user-visible behavior:
+  encode()        routes <=32KB files to one legacy frame, larger files to
+                  the chunked protocol (startSend, app.js:124-135)
+  encode_legacy() buildTransmitSignal (modem.js:498-555)
+  encode_chunked()metadata frame + per-chunk data frames (app.js:201-303)
+  decode()        decodeReceivedSignal (modem.js:557-654)
+  decode_chunked()full receive of a chunked transmission from one recording
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterator
+
+import numpy as np
+
+from audio_modem_tpu import decoder, framing
+from audio_modem_tpu.configs import CHUNK_THRESHOLD, MODES, ModemMode, get_mode
+from audio_modem_tpu.framing import DataFrame, FrameError, LegacyFrame, MetaFrame, ParseResult
+
+
+def _resolve(mode: str | ModemMode) -> ModemMode:
+    return mode if isinstance(mode, ModemMode) else get_mode(mode)
+
+
+def encode_legacy(data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file") -> np.ndarray:
+    """Single-frame TX signal (modem.js:498-555)."""
+    return framing.build_transmit_signal(data, _resolve(mode), file_name)
+
+
+def encode_chunked(
+    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file"
+) -> Iterator[np.ndarray]:
+    """Chunked TX: yields metadata frame, then one frame per chunk
+    (playChunkedFrames, app.js:201-303). O(chunk) memory like the reference's
+    Blob.slice reads."""
+    m = _resolve(mode)
+    chunk_size = m.chunk_size
+    total_chunks = -(-len(data) // chunk_size)
+    yield framing.build_metadata_frame(total_chunks, len(data), chunk_size, file_name, m)
+    for seq in range(total_chunks):
+        chunk = data[seq * chunk_size : (seq + 1) * chunk_size]
+        yield framing.build_data_chunk_frame(chunk, seq, m)
+
+
+def encode(data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file") -> list[np.ndarray]:
+    """Size-routed encode (startSend, app.js:124-135): list of frame signals
+    (length 1 for the legacy path)."""
+    if len(data) <= CHUNK_THRESHOLD:
+        return [encode_legacy(data, mode, file_name)]
+    return list(encode_chunked(data, mode, file_name))
+
+
+def decode(signal: np.ndarray, mode: str | ModemMode = "QPSK") -> tuple[ParseResult, decoder.DecodeInfo | None]:
+    """Full-signal decode of one frame (modem.js:557-654)."""
+    return decoder.decode_signal(np.asarray(signal, dtype=np.float32), _resolve(mode))
+
+
+@dataclasses.dataclass
+class ChunkedDecodeResult:
+    file_name: str
+    data: bytes
+    total_chunks: int
+    received_chunks: int
+    missing_chunks: list[int]
+    crc_errors: int
+
+    @property
+    def complete(self) -> bool:
+        return not self.missing_chunks
+
+
+def decode_chunked(signal: np.ndarray, mode: str | ModemMode = "QPSK") -> ChunkedDecodeResult | FrameError:
+    """Decode a full chunked transmission from one long recording by scanning
+    frame-by-frame (offline analog of the streaming receiver)."""
+    from audio_modem_tpu.runtime.receiver import StreamingReceiver
+
+    m = _resolve(mode)
+    rx = StreamingReceiver(m)
+    signal = np.asarray(signal, dtype=np.float32)
+    block = 4096
+    for off in range(0, len(signal), block):
+        rx.process_audio_block(signal[off : off + block])
+    rx.flush()
+    asm = rx.assembler
+    if asm.total_chunks == 0:
+        return FrameError("No metadata frame received")
+    return ChunkedDecodeResult(
+        file_name=asm.file_name,
+        data=asm.assemble(),
+        total_chunks=asm.total_chunks,
+        received_chunks=asm.received_count,
+        missing_chunks=asm.missing_chunks(),
+        crc_errors=asm.crc_errors,
+    )

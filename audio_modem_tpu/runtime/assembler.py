@@ -1,0 +1,159 @@
+"""Chunk assembler: bitmap + chunk store + file assembly (app.js:597-704).
+
+The reference persists chunks in IndexedDB but keeps the bitmap in memory and
+clears the store on every new metadata frame, so a resume across restarts is
+not actually supported (SURVEY §5). Here the store is sqlite (stdlib), the
+bitmap is derivable from the store, and ``resume=True`` continues a transfer
+across process restarts — a true checkpoint/resume upgrade. In-memory mode
+(persist_path=None) matches the reference's lifetime semantics.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import numpy as np
+
+from audio_modem_tpu.framing import DataFrame, MetaFrame
+
+
+class ChunkAssembler:
+    def __init__(self, persist_path: str | None = None, resume: bool = False):
+        self.total_chunks = 0
+        self.total_file_size = 0
+        self.chunk_size = 0
+        self.file_name = ""
+        self.received_count = 0
+        self.crc_errors = 0
+        self._bitmap: np.ndarray | None = None
+        self._mem: dict[int, bytes] = {}
+        self._db: sqlite3.Connection | None = None
+        self._resume = resume
+        if persist_path is not None:
+            self._db = sqlite3.connect(persist_path)
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS chunks (seq INTEGER PRIMARY KEY, data BLOB)"
+            )
+            self._db.execute(
+                "CREATE TABLE IF NOT EXISTS meta (k TEXT PRIMARY KEY, v TEXT)"
+            )
+            self._db.commit()
+            if resume:
+                self._load_meta()
+
+    # ---- metadata ----
+
+    def handle_metadata(self, meta: MetaFrame) -> None:
+        """New transfer begins (app.js:610-626). With resume=True and matching
+        metadata, previously stored chunks are kept."""
+        same = (
+            self._resume
+            and self.total_chunks == meta.total_chunks
+            and self.total_file_size == meta.total_file_size
+            and self.chunk_size == meta.chunk_size
+            and self.file_name == meta.file_name
+        )
+        self.total_chunks = meta.total_chunks
+        self.total_file_size = meta.total_file_size
+        self.chunk_size = meta.chunk_size
+        self.file_name = meta.file_name
+        if same and self._bitmap is not None:
+            return
+        self._bitmap = np.zeros(meta.total_chunks, dtype=bool)
+        self.received_count = 0
+        self.crc_errors = 0
+        if self._db is not None:
+            if same:
+                self._rebuild_bitmap_from_db()
+            else:
+                self._db.execute("DELETE FROM chunks")
+            self._save_meta()
+        else:
+            self._mem.clear()
+
+    def _save_meta(self) -> None:
+        rows = [
+            ("total_chunks", str(self.total_chunks)),
+            ("total_file_size", str(self.total_file_size)),
+            ("chunk_size", str(self.chunk_size)),
+            ("file_name", self.file_name),
+        ]
+        self._db.executemany("INSERT OR REPLACE INTO meta VALUES (?, ?)", rows)
+        self._db.commit()
+
+    def _load_meta(self) -> None:
+        rows = dict(self._db.execute("SELECT k, v FROM meta").fetchall())
+        if "total_chunks" in rows:
+            self.total_chunks = int(rows["total_chunks"])
+            self.total_file_size = int(rows["total_file_size"])
+            self.chunk_size = int(rows["chunk_size"])
+            self.file_name = rows["file_name"]
+            self._bitmap = np.zeros(self.total_chunks, dtype=bool)
+            self._rebuild_bitmap_from_db()
+
+    def _rebuild_bitmap_from_db(self) -> None:
+        for (seq,) in self._db.execute("SELECT seq FROM chunks"):
+            if 0 <= seq < self.total_chunks and not self._bitmap[seq]:
+                self._bitmap[seq] = True
+        self.received_count = int(self._bitmap.sum())
+
+    # ---- chunks ----
+
+    def handle_data_chunk(self, frame: DataFrame) -> bool:
+        """Store a chunk (app.js:628-650). Returns True if newly stored.
+        CRC failures are counted and NOT stored; duplicates suppressed."""
+        if self._bitmap is None or frame.seq_num >= self.total_chunks:
+            return False
+        if not frame.crc_valid:
+            self.crc_errors += 1
+            return False
+        if self._bitmap[frame.seq_num]:
+            return False
+        self._bitmap[frame.seq_num] = True
+        self.received_count += 1
+        if self._db is not None:
+            self._db.execute(
+                "INSERT OR REPLACE INTO chunks VALUES (?, ?)", (frame.seq_num, frame.data)
+            )
+            self._db.commit()
+        else:
+            self._mem[frame.seq_num] = frame.data
+        return True
+
+    def is_received(self, seq: int) -> bool:
+        return self._bitmap is not None and bool(self._bitmap[seq])
+
+    @property
+    def is_complete(self) -> bool:
+        return self.total_chunks > 0 and self.received_count == self.total_chunks
+
+    def missing_chunks(self) -> list[int]:
+        """Missing-chunk report for out-of-band retransmission requests
+        (app.js:659-665)."""
+        if self._bitmap is None:
+            return list(range(self.total_chunks))
+        return [int(i) for i in np.nonzero(~self._bitmap)[0]]
+
+    def bitmap(self) -> np.ndarray:
+        """Copy of the received bitmap (chunk-bitmap UI analog)."""
+        return self._bitmap.copy() if self._bitmap is not None else np.zeros(0, bool)
+
+    def assemble(self) -> bytes:
+        """Assemble whatever has been received into the file-sized buffer
+        (missing chunks stay zero), like assembleFile (app.js:667-687)."""
+        out = bytearray(self.total_file_size)
+        for seq, data in self._iter_chunks():
+            off = seq * self.chunk_size
+            out[off : off + len(data)] = data
+        return bytes(out[: self.total_file_size])
+
+    def _iter_chunks(self):
+        if self._db is not None:
+            yield from self._db.execute("SELECT seq, data FROM chunks ORDER BY seq")
+        else:
+            yield from sorted(self._mem.items())
+
+    def cleanup(self) -> None:
+        if self._db is not None:
+            self._db.close()
+            self._db = None

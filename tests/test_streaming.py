@@ -1,0 +1,171 @@
+"""Streaming runtime tests: ring buffer, assembler persistence/resume, the
+receiver FSM over block-fed chunked transmissions, and channel robustness."""
+
+import numpy as np
+import pytest
+
+from audio_modem_tpu import api, channel, framing
+from audio_modem_tpu.configs import MODES
+from audio_modem_tpu.framing import DataFrame, MetaFrame
+from audio_modem_tpu.runtime.assembler import ChunkAssembler
+from audio_modem_tpu.runtime.receiver import StreamingReceiver
+from audio_modem_tpu.runtime.ring import RingBuffer
+
+
+class TestRingBuffer:
+    def test_global_addressing(self):
+        rb = RingBuffer(100)
+        rb.write(np.arange(60, dtype=np.float32))
+        rb.write(np.arange(60, 120, dtype=np.float32))
+        assert rb.total_written == 120
+        assert rb.get_range(0, 10) is None  # overwritten
+        got = rb.get_range(30, 50)
+        assert np.array_equal(got, np.arange(30, 80, dtype=np.float32))
+        assert rb.get_range(100, 30) is None  # not yet written
+        assert rb.available_from(100) == 20
+
+    def test_oversize_write(self):
+        rb = RingBuffer(50)
+        rb.write(np.arange(130, dtype=np.float32))
+        assert rb.total_written == 130
+        assert np.array_equal(rb.get_range(80, 50), np.arange(80, 130, dtype=np.float32))
+
+
+class TestAssembler:
+    def _meta(self, n=4, size=100, csize=32):
+        return MetaFrame(n, size, csize, "f.bin", True)
+
+    def test_in_memory(self):
+        asm = ChunkAssembler()
+        asm.handle_metadata(self._meta())
+        asm.handle_data_chunk(DataFrame(0, b"a" * 32, True))
+        asm.handle_data_chunk(DataFrame(0, b"b" * 32, True))  # duplicate ignored
+        asm.handle_data_chunk(DataFrame(2, b"c" * 32, False))  # CRC fail not stored
+        assert asm.received_count == 1
+        assert asm.crc_errors == 1
+        assert asm.missing_chunks() == [1, 2, 3]
+        assert not asm.is_complete
+
+    def test_assemble_partial(self):
+        asm = ChunkAssembler()
+        asm.handle_metadata(self._meta(n=2, size=40, csize=32))
+        asm.handle_data_chunk(DataFrame(1, b"z" * 8, True))
+        data = asm.assemble()
+        assert len(data) == 40
+        assert data[32:] == b"z" * 8
+        assert data[:32] == bytes(32)
+
+    def test_persistence_and_resume(self, tmp_path):
+        db = str(tmp_path / "chunks.db")
+        asm = ChunkAssembler(db)
+        asm.handle_metadata(self._meta(n=3, size=96, csize=32))
+        asm.handle_data_chunk(DataFrame(0, b"x" * 32, True))
+        asm.cleanup()
+        # resume: same metadata keeps stored chunks
+        asm2 = ChunkAssembler(db, resume=True)
+        assert asm2.received_count == 1
+        asm2.handle_metadata(self._meta(n=3, size=96, csize=32))
+        assert asm2.received_count == 1
+        assert asm2.missing_chunks() == [1, 2]
+        asm2.handle_data_chunk(DataFrame(1, b"y" * 32, True))
+        asm2.handle_data_chunk(DataFrame(2, b"w" * 32, True))
+        assert asm2.is_complete
+        assert asm2.assemble() == b"x" * 32 + b"y" * 32 + b"w" * 32
+        asm2.cleanup()
+
+    def test_new_metadata_clears(self, tmp_path):
+        db = str(tmp_path / "c2.db")
+        asm = ChunkAssembler(db)
+        asm.handle_metadata(self._meta(n=2, size=64, csize=32))
+        asm.handle_data_chunk(DataFrame(0, b"x" * 32, True))
+        asm.handle_metadata(self._meta(n=5, size=160, csize=32))  # different transfer
+        assert asm.received_count == 0
+        assert asm.missing_chunks() == [0, 1, 2, 3, 4]
+        asm.cleanup()
+
+
+def _feed(rx: StreamingReceiver, signal: np.ndarray, block: int = 4096):
+    for off in range(0, len(signal), block):
+        rx.process_audio_block(signal[off : off + block])
+    rx.flush()
+
+
+@pytest.mark.parametrize("mode_name", ["QPSK", "BPSK-NARROW"])
+class TestStreamingReceiver:
+    def test_chunked_transfer(self, mode_name):
+        mode = MODES[mode_name]
+        rng = np.random.default_rng(31)
+        data = rng.bytes(mode.chunk_size * 2 + 123)  # 3 chunks
+        frames = api.encode(b"", mode) if False else list(api.encode_chunked(data, mode, "big.bin"))
+        signal = np.concatenate(frames)
+        rx = StreamingReceiver(mode)
+        _feed(rx, signal)
+        assert rx.meta_received
+        assert rx.assembler.is_complete, rx.assembler.missing_chunks()
+        assert rx.assembler.assemble() == data
+        assert rx.stats.frames_decoded == len(frames)
+        assert rx.stats.frame_errors == 0
+
+    def test_with_leading_noise_and_gap(self, mode_name):
+        mode = MODES[mode_name]
+        rng = np.random.default_rng(37)
+        data = rng.bytes(mode.chunk_size + 17)  # 2 chunks
+        frames = list(api.encode_chunked(data, mode, "n.bin"))
+        noise = (rng.standard_normal(9000) * 0.001).astype(np.float32)
+        signal = np.concatenate([noise] + frames)
+        rx = StreamingReceiver(mode)
+        _feed(rx, signal)
+        assert rx.assembler.is_complete, rx.assembler.missing_chunks()
+        assert rx.assembler.assemble() == data
+
+
+class TestDecodeChunkedApi:
+    def test_decode_chunked_roundtrip(self):
+        mode = MODES["QPSK"]
+        data = np.random.default_rng(41).bytes(mode.chunk_size * 2 + 50)
+        signal = np.concatenate(list(api.encode_chunked(data, mode, "api.bin")))
+        res = api.decode_chunked(signal, mode)
+        assert not isinstance(res, framing.FrameError)
+        assert res.complete and res.data == data and res.file_name == "api.bin"
+
+    def test_encode_routing(self):
+        small = api.encode(b"x" * 100, "QPSK")
+        assert len(small) == 1
+        big = api.encode(b"x" * (33 * 1024), "QPSK")
+        assert len(big) == 1 + -(-33 * 1024 // MODES["QPSK"].chunk_size)
+
+
+class TestChannelRobustness:
+    def test_awgn_legacy(self):
+        # BASELINE config 2 analog: repetition mode under AWGN
+        mode = MODES["BPSK-REPEAT"]
+        data = np.random.default_rng(43).bytes(120)
+        sig = api.encode_legacy(data, mode, "awgn.bin")
+        noisy = channel.apply_channel_np(sig, channel.ChannelSpec(snr_db=10.0), seed=1)
+        result, _ = api.decode(noisy, mode)
+        assert isinstance(result, framing.LegacyFrame), getattr(result, "error", result)
+        assert result.crc_valid and result.data == data
+
+    def test_multipath_qam16(self):
+        # BASELINE config 4 analog: 16-QAM with echoes, pilot EQ must cope
+        mode = MODES["16-QAM"]
+        data = np.random.default_rng(47).bytes(2000)
+        sig = api.encode_legacy(data, mode, "mp.bin")
+        spec = channel.ChannelSpec(
+            snr_db=28.0, multipath=((23, 0.25), (61, 0.12)), gain=0.7, dc_offset=0.01
+        )
+        received = channel.apply_channel_np(sig, spec, seed=2)
+        result, _ = api.decode(received, mode)
+        assert isinstance(result, framing.LegacyFrame), getattr(result, "error", result)
+        assert result.crc_valid and result.data == data
+
+    def test_streaming_awgn(self):
+        mode = MODES["BPSK-ACOUSTIC"]
+        data = np.random.default_rng(53).bytes(mode.chunk_size + 100)
+        frames = list(api.encode_chunked(data, mode, "s.bin"))
+        signal = np.concatenate(frames)
+        noisy = channel.apply_channel_np(signal, channel.ChannelSpec(snr_db=15.0), seed=3)
+        rx = StreamingReceiver(mode)
+        _feed(rx, noisy)
+        assert rx.assembler.is_complete, rx.assembler.missing_chunks()
+        assert rx.assembler.assemble() == data
