@@ -1,0 +1,105 @@
+"""Batched multi-stream decode: one compiled program for N streams.
+
+This is the scale path of BASELINE config 5 ('streaming receiver at scale:
+64 parallel batched streams'): instead of N host FSMs making N small device
+calls, whole batches of stream windows / frames run through one jitted,
+mesh-sharded executable. Detection, refinement, channel estimation and
+demodulation are all batched over the leading stream axis; XLA partitions
+them across chips along that axis with zero cross-chip traffic until the
+final (tiny) result gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu import phy, sync
+from audio_modem_tpu.configs import ModemMode
+from audio_modem_tpu.channel import awgn
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    """Frame-aligned batch decode: [B, 3*sym + n_sym*sym] -> bits [B, n_bits].
+
+    Batched decodeChunkFrame (modem.js:770-803): per-frame peak
+    normalization (app.js:918-925), CE, demod. The whole batch is one
+    program; shard the leading axis to span chips.
+    """
+    p = mode.profile
+    sym = p.symbol_len
+    mx = jnp.abs(frames).max(axis=-1, keepdims=True)
+    frames = jnp.where(mx > 1e-6, frames / jnp.where(mx > 1e-6, mx, 1.0), frames)
+    ch_re, ch_im = phy.estimate_channel(frames[:, 2 * sym : 3 * sym], p)
+    data = frames[:, 3 * sym : (3 + n_sym) * sym].reshape(-1, n_sym, sym)
+    return phy.demodulate(data, ch_re, ch_im, mode)
+
+
+def _single_signal_decode(signal, n_valid, mode: ModemMode, max_syms: int):
+    """vmappable full pipeline: preprocess -> detect -> refine -> CE -> demod."""
+    p = mode.profile
+    sym = p.symbol_len
+    sig = sync.preprocess(signal, n_valid)
+    coarse, coarse_metric = sync.detect_preamble(sig, p, n_valid)
+    start, fine_metric = sync.refine_xcorr(sig, jnp.maximum(coarse, 0), p, n_valid)
+    ext = jnp.pad(sig, (0, (3 + max_syms) * sym))
+    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+    data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (max_syms * sym,))
+    bits = phy.demodulate(data.reshape(max_syms, sym), ch_re, ch_im, mode)
+    ok = (coarse >= 0) & (fine_metric >= sync.XCORR_THRESHOLD)
+    return {
+        "start": start,
+        "coarse": coarse,
+        "coarse_metric": coarse_metric,
+        "fine_metric": fine_metric,
+        "detected": ok,
+        "bits": bits,
+    }
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms"))
+def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
+    """Full-pipeline batch decode: [B, T] padded signals + [B] valid lengths.
+
+    Returns dict of [B]-leading arrays (bits [B, max_syms*bits_per_symbol]).
+    Shard ``signals``/``n_valid`` over the stream axis for multi-chip.
+    """
+    return jax.vmap(lambda s, nv: _single_signal_decode(s, nv, mode, max_syms))(signals, n_valid)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym", "snr_db"))
+def batch_loopback_step(bits: jnp.ndarray, key: jax.Array, mode: ModemMode, n_sym: int, snr_db: float = 20.0):
+    """Full TX -> channel -> RX loopback over a sharded stream batch,
+    reduced to a scalar BER — the framework's 'training step' analog: the
+    per-stream pipeline is embarrassingly parallel and the final mean is the
+    one cross-chip collective (all-reduce over the batch axis).
+
+    bits: [B, n_sym * bits_per_symbol] in {0,1}.
+    """
+    p = mode.profile
+    syms = phy.modulate(bits, mode)  # [B, n_sym, sym_len]
+    sig = syms.reshape(syms.shape[0], -1)
+    ce = jnp.broadcast_to(jnp.asarray(p.ce_symbol), (sig.shape[0], p.symbol_len))
+    tx = jnp.concatenate([ce, sig], axis=-1)
+    rx = awgn(tx, snr_db, key)
+    ch_re, ch_im = phy.estimate_channel(rx[:, : p.symbol_len], p)
+    out_bits = phy.demodulate(
+        rx[:, p.symbol_len :].reshape(-1, n_sym, p.symbol_len), ch_re, ch_im, mode
+    )
+    ber = jnp.mean(jnp.abs(out_bits.astype(jnp.float32) - bits.astype(jnp.float32)))
+    return ber, out_bits
+
+
+def pad_signals(signals: list[np.ndarray], pad_len: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Host helper: ragged signal list -> ([B, pad_len] f32, [B] int32)."""
+    n_valid = np.asarray([len(s) for s in signals], dtype=np.int32)
+    t = int(pad_len or int(n_valid.max()))
+    out = np.zeros((len(signals), t), dtype=np.float32)
+    for i, s in enumerate(signals):
+        out[i, : len(s)] = s[:t]
+    return out, n_valid
