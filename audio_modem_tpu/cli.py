@@ -1,0 +1,177 @@
+"""Command-line application: the framework's L5/L6 surface.
+
+WAV-file analogs of the reference UI actions (index.html:98-252):
+  encode    file -> WAV signal (legacy or chunked, size-routed)
+  decode    WAV -> file (full-signal decode; CRC-failed payloads are still
+            written with a .corrupted suffix, like app.js:526-529)
+  receive   WAV -> chunked streaming receive with bitmap/progress report
+  diagnose  loopback analysis of a recorded test-signal WAV
+  testsignal / sweep  generate diagnostic signals
+  info      rate table for all modes (app.js:32-58 analog)
+  bench     run the throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_mode(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", default="QPSK", help="QPSK | 16-QAM | BPSK-ACOUSTIC | BPSK-REPEAT | BPSK-NARROW")
+
+
+def cmd_encode(args) -> int:
+    from audio_modem_tpu import api
+    from audio_modem_tpu.utils.wav import write_wav
+
+    data = Path(args.input).read_bytes()
+    frames = api.encode(data, args.mode, Path(args.input).name)
+    signal = np.concatenate(frames)
+    write_wav(args.output, signal)
+    print(f"encoded {len(data)} bytes -> {len(frames)} frame(s), "
+          f"{len(signal)} samples ({len(signal)/44100:.2f}s) -> {args.output}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from audio_modem_tpu import api, framing
+    from audio_modem_tpu.utils.wav import read_wav
+
+    signal, rate = read_wav(args.input)
+    result, info = api.decode(signal, args.mode)
+    if isinstance(result, framing.FrameError):
+        print(f"error: {result.error}", file=sys.stderr)
+        return 1
+    name = getattr(result, "file_name", "decoded.bin") or "decoded.bin"
+    out = Path(args.output or name)
+    if isinstance(result, framing.LegacyFrame):
+        if not result.crc_valid:
+            out = out.with_suffix(out.suffix + ".corrupted")
+        out.write_bytes(result.data)
+        print(f"decoded {len(result.data)} bytes -> {out} "
+              f"(crc {'OK' if result.crc_valid else 'FAILED'}, "
+              f"preamble@{info.preamble_idx}, corr {info.fine_metric:.3f})")
+    else:
+        print(f"decoded non-legacy frame: {result}")
+    return 0
+
+
+def cmd_receive(args) -> int:
+    from audio_modem_tpu import api, framing
+    from audio_modem_tpu.utils.wav import read_wav
+
+    signal, _ = read_wav(args.input)
+    res = api.decode_chunked(signal, args.mode)
+    if isinstance(res, framing.FrameError):
+        print(f"error: {res.error}", file=sys.stderr)
+        return 1
+    out = Path(args.output or res.file_name or "received.bin")
+    out.write_bytes(res.data)
+    status = "complete" if res.complete else f"PARTIAL, missing {res.missing_chunks}"
+    print(f"received {res.received_chunks}/{res.total_chunks} chunks "
+          f"({res.crc_errors} CRC errors) -> {out} [{status}]")
+    return 0 if res.complete else 2
+
+
+def cmd_diagnose(args) -> int:
+    from audio_modem_tpu import diag
+    from audio_modem_tpu.configs import get_mode
+    from audio_modem_tpu.utils.wav import read_wav
+
+    signal, _ = read_wav(args.input)
+    report = diag.analyze_loopback(signal, get_mode(args.mode))
+    print(json.dumps({
+        "detected": report.detected,
+        "correlation": round(report.correlation, 4),
+        "ber": round(report.ber, 6),
+        "snr_db": round(report.snr_estimate_db, 2),
+        "quality": report.quality,
+        "recommended_mode": report.recommended_mode,
+    }))
+    return 0
+
+
+def cmd_testsignal(args) -> int:
+    from audio_modem_tpu import diag
+    from audio_modem_tpu.configs import get_mode
+    from audio_modem_tpu.utils.wav import write_wav
+
+    signal, _ = diag.generate_test_signal(get_mode(args.mode))
+    write_wav(args.output, signal)
+    print(f"test signal ({args.mode}) -> {args.output}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from audio_modem_tpu import diag
+    from audio_modem_tpu.utils.wav import write_wav
+
+    write_wav(args.output, diag.generate_sweep_tone())
+    print(f"sweep tone -> {args.output}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from audio_modem_tpu.configs import MODES
+
+    print(f"{'mode':<15}{'profile':<12}{'const':<7}{'rep':<4}{'chunk':<7}{'raw rate':<12}")
+    for m in MODES.values():
+        p = m.profile
+        raw = p.num_data_subs * m.bps * p.sample_rate / p.symbol_len / m.repetition
+        print(f"{m.name:<15}{m.profile_name:<12}{m.constellation:<7}{m.repetition:<4}"
+              f"{m.chunk_size:<7}{raw/8:,.0f} B/s")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="audio-modem-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="file -> modem WAV")
+    p.add_argument("input"); p.add_argument("output"); _add_mode(p)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="WAV -> file (single frame)")
+    p.add_argument("input"); p.add_argument("-o", "--output"); _add_mode(p)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("receive", help="WAV -> file (chunked streaming)")
+    p.add_argument("input"); p.add_argument("-o", "--output"); _add_mode(p)
+    p.set_defaults(fn=cmd_receive)
+
+    p = sub.add_parser("diagnose", help="analyze a recorded loopback WAV")
+    p.add_argument("input"); _add_mode(p)
+    p.set_defaults(fn=cmd_diagnose)
+
+    p = sub.add_parser("testsignal", help="generate the known test signal")
+    p.add_argument("output"); _add_mode(p)
+    p.set_defaults(fn=cmd_testsignal)
+
+    p = sub.add_parser("sweep", help="generate a frequency sweep tone")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("info", help="mode/rate table")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,168 @@
+"""Diagnostics: sweep/test signals, loopback analysis, input analysis.
+
+Re-implements the reference's pre-test suite (modem.js:886-1082,
+app.js:1312-1627): output sweep tone, known OFDM test signal, loopback
+analyzer (sync metric, per-subcarrier |H|, SNR estimate, BER vs known
+payload, quality verdict + recommended mode), and input-recording analysis
+(RMS / peak / noise floor / spectrum).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu import decoder, framing, phy, sync
+from audio_modem_tpu.configs import MODES, ModemMode, SAMPLE_RATE
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
+
+
+def generate_sweep_tone(
+    start_freq: float = 200.0,
+    end_freq: float = 12000.0,
+    duration: float = 2.0,
+    sample_rate: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Linear chirp with 50 ms fade-in/out at 0.8 amplitude
+    (modem.js:890-912)."""
+    n = round(duration * sample_rate)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    phase = 2 * np.pi * (start_freq * t + (end_freq - start_freq) * t * t / (2 * duration))
+    sig = 0.8 * np.sin(phase)
+    fade = round(0.05 * sample_rate)
+    env = np.ones(n)
+    env[:fade] = np.arange(fade) / fade
+    env[n - fade :] = np.minimum(env[n - fade :], (n - np.arange(n - fade, n)) / fade)
+    return (sig * env).astype(np.float32)
+
+
+TEST_PAYLOAD = bytes(range(16))  # modem.js:915-917
+TEST_FILENAME = "test"
+
+
+def generate_test_signal(mode: ModemMode) -> tuple[np.ndarray, bytes]:
+    """Known-payload legacy frame for loopback testing (modem.js:914-973)."""
+    return framing.build_transmit_signal(TEST_PAYLOAD, mode, TEST_FILENAME), TEST_PAYLOAD
+
+
+@dataclasses.dataclass
+class LoopbackReport:
+    """analyzeLoopback result (modem.js:975-1082)."""
+
+    detected: bool
+    correlation: float
+    ber: float
+    channel_magnitude: np.ndarray
+    snr_estimate_db: float
+    quality: str  # excellent | good | poor
+
+    @property
+    def recommended_mode(self) -> str:
+        """Modulation recommendation (app.js:1598-1605)."""
+        if self.quality == "excellent":
+            return "16-QAM"
+        if self.quality == "good":
+            return "QPSK"
+        return "BPSK-REPEAT"
+
+
+def analyze_loopback(recorded: np.ndarray, mode: ModemMode, test_data: bytes = TEST_PAYLOAD) -> LoopbackReport:
+    """Loopback quality analysis (modem.js:975-1082): sync -> channel -> SNR
+    -> BER vs known payload -> verdict."""
+    p = mode.profile
+    sym = p.symbol_len
+    signal = np.asarray(recorded, dtype=np.float32)
+    n_valid = len(signal)
+
+    pad_len = decoder._bucket_len(n_valid)
+    sig = np.zeros(pad_len, np.float32)
+    sig[:n_valid] = signal
+    sig_dev = jnp.asarray(sig)
+    pre = sync.preprocess(sig_dev, jnp.int32(n_valid))
+
+    coarse, _ = sync.detect_preamble(pre, p, jnp.int32(n_valid))
+    coarse = int(coarse)
+    if coarse < 0:
+        return LoopbackReport(False, 0.0, 1.0, np.zeros(0), 0.0, "poor")
+
+    start_t, metric_t = sync.refine_xcorr(pre, jnp.int32(coarse), p, jnp.int32(n_valid))
+    start, correlation = int(start_t), max(0.0, float(metric_t))
+
+    ce_start = start + 2 * sym
+    if ce_start + sym > n_valid:
+        return LoopbackReport(True, correlation, 1.0, np.zeros(0), 0.0, "poor")
+
+    pre_np = np.asarray(pre)
+    ch_re, ch_im = phy.estimate_channel(jnp.asarray(pre_np[ce_start : ce_start + sym]), p)
+    ch_mag = np.asarray(phy.channel_magnitude(ch_re, ch_im))
+
+    # SNR from pilot |H| (modem.js:1032-1043)
+    pilot_pos = np.nonzero(p.pilot_mask_active)[0]
+    pilot_mag = ch_mag[pilot_pos]
+    usable = pilot_mag > 1e-6
+    avg = float(pilot_mag[usable].mean()) if usable.any() else 0.0
+    snr_db = 20 * np.log10(avg) if avg > 0 else -np.inf
+
+    # BER against the known packet layout (modem.js:1046-1069)
+    data_start = ce_start + sym
+    ber = 1.0
+    if data_start < n_valid:
+        n_sym = (n_valid - data_start) // sym
+        if n_sym > 0:
+            data = pre_np[data_start : data_start + n_sym * sym].reshape(n_sym, sym)
+            bits = np.asarray(phy.demodulate(jnp.asarray(data), ch_re, ch_im, mode))
+            if mode.repetition > 1:
+                bits = majority_vote(bits, mode.repetition)
+            by = bits_to_bytes(bits)
+            if len(by) >= 1 + len(TEST_FILENAME) + 4 + len(test_data) + 4:
+                name_len = by[0]
+                off = 1 + name_len + 4
+                if off + len(test_data) <= len(by):
+                    err = 0
+                    for i, tb in enumerate(test_data):
+                        err += bin(by[off + i] ^ tb).count("1")
+                    ber = err / (len(test_data) * 8)
+
+    if ber == 0 and correlation > 0.8:
+        quality = "excellent"
+    elif ber < 0.05:
+        quality = "good"
+    else:
+        quality = "poor"
+    return LoopbackReport(True, correlation, ber, ch_mag, float(snr_db), quality)
+
+
+@dataclasses.dataclass
+class InputReport:
+    """Input-recording analysis (app.js:1404-1484)."""
+
+    rms: float
+    peak: float
+    noise_floor: float
+    clipping: bool
+    spectrum_db: np.ndarray  # 1024-bin dB spectrum
+    freqs: np.ndarray
+
+
+def analyze_input(recording: np.ndarray, sample_rate: int = SAMPLE_RATE) -> InputReport:
+    x = np.asarray(recording, dtype=np.float64)
+    rms = float(np.sqrt(np.mean(x**2)))
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    # noise floor = mean RMS of the quietest 10% of 2048-sample blocks
+    # (app.js:1444-1459)
+    nblk = len(x) // 2048
+    if nblk > 0:
+        blocks = x[: nblk * 2048].reshape(nblk, 2048)
+        block_rms = np.sqrt((blocks**2).mean(axis=1))
+        k = max(1, nblk // 10)
+        noise_floor = float(np.sort(block_rms)[:k].mean())
+    else:
+        noise_floor = rms
+    n_fft = 2048
+    seg = x[:n_fft] if len(x) >= n_fft else np.pad(x, (0, n_fft - len(x)))
+    spec = np.abs(np.fft.rfft(seg * np.hanning(n_fft)))[: n_fft // 2]
+    spec_db = 20 * np.log10(spec + 1e-12)
+    freqs = np.fft.rfftfreq(n_fft, 1 / sample_rate)[: n_fft // 2]
+    return InputReport(rms, peak, noise_floor, rms > 0.9, spec_db, freqs)
