@@ -96,9 +96,15 @@ def batch_loopback_step(bits: jnp.ndarray, key: jax.Array, mode: ModemMode, n_sy
 
 
 def pad_signals(signals: list[np.ndarray], pad_len: int | None = None) -> tuple[np.ndarray, np.ndarray]:
-    """Host helper: ragged signal list -> ([B, pad_len] f32, [B] int32)."""
+    """Host helper: ragged signal list -> ([B, pad_len] f32, [B] int32).
+
+    The padded length is rounded up to a multiple of 64 so the windowed-sum
+    fast path applies (sync.windowed_sum), instead of the O(T*window) conv
+    fallback.
+    """
     n_valid = np.asarray([len(s) for s in signals], dtype=np.int32)
     t = int(pad_len or int(n_valid.max()))
+    t = -(-t // 64) * 64
     out = np.zeros((len(signals), t), dtype=np.float32)
     for i, s in enumerate(signals):
         out[i, : len(s)] = s[:t]

@@ -28,11 +28,50 @@ XCORR_THRESHOLD = 0.1
 XCORR_MIN_DENOM = 0.001
 
 
-def windowed_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Sliding-window sum over the last axis, 'valid' mode.
+_BLOCK = 64
 
-    [..., T] -> [..., T - window + 1] via conv with a ones kernel.
+
+def windowed_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Sliding-window sum over the last axis, 'valid' mode:
+    [..., T] -> [..., T - window + 1].
+
+    When window and T are multiples of 64 (true for every window this
+    framework uses: 256-sample Schmidl-Cox halves and 576/640/768 symbol
+    energies over 64-aligned buckets), uses an exact O(T) blocked
+    decomposition: sum[d, d+w) = (k full block totals) + (head/tail
+    within-block cumsums). Every term is a LOCAL sum of <= w elements, so
+    unlike a global-cumsum difference there is no long-range float32
+    cancellation, and unlike a ones-kernel conv the cost is O(T) not O(T*w).
+    Falls back to the conv formulation otherwise.
     """
+    *lead, t = x.shape
+    if window % _BLOCK or t % _BLOCK:
+        return _windowed_sum_conv(x, window)
+    b = _BLOCK
+    k = window // b
+    nb = t // b
+    xb = x.reshape(*lead, nb, b).astype(jnp.float32)
+    c = jnp.cumsum(xb, axis=-1)  # within-block inclusive cumsum (local)
+    totals = c[..., -1]  # [.., nb]
+    # Tw[q] = totals[q] + ... + totals[q+k-1]  (k is tiny: 4..12)
+    tw = totals[..., : nb - k + 1]
+    for j in range(1, k):
+        tw = tw + totals[..., j : nb - k + 1 + j]
+    # cvec[m] = within-block cumsum up to m-1, i.e. 0 at block starts
+    cflat = c.reshape(*lead, t)
+    cvec = jnp.concatenate(
+        [jnp.zeros((*lead, 1), jnp.float32), cflat[..., :-1]], axis=-1
+    )
+    block_start = (jnp.arange(t) % b) == 0
+    cvec = jnp.where(block_start, 0.0, cvec)
+    cvec = jnp.concatenate([cvec, jnp.zeros((*lead, 1), jnp.float32)], axis=-1)  # cvec[t]=0
+
+    n_pos = t - window + 1
+    tw_rep = jnp.repeat(tw, b, axis=-1)[..., :n_pos]
+    return tw_rep + cvec[..., window : window + n_pos] - cvec[..., :n_pos]
+
+
+def _windowed_sum_conv(x: jnp.ndarray, window: int) -> jnp.ndarray:
     *lead, t = x.shape
     flat = x.reshape(-1, 1, t).astype(jnp.float32)
     kernel = jnp.ones((1, 1, window), jnp.float32)
@@ -158,10 +197,15 @@ def refine_xcorr(
     hi = jnp.minimum(n_valid - plen, coarse_idx + radius)
 
     region = jax.lax.dynamic_slice(signal, (lo,), (region_len,)).astype(jnp.float32)
-    # windows[i, j] = region[i + j] -> corr as one matvec on the MXU
-    gather_idx = jnp.arange(n_off)[:, None] + jnp.arange(plen)[None, :]
-    windows = region[gather_idx]
-    corr = windows @ pre1
+    # corr[i] = sum_j region[i+j] * pre1[j]: XLA conv IS cross-correlation
+    corr = jax.lax.conv_general_dilated(
+        region.reshape(1, 1, region_len),
+        jnp.asarray(pre1).reshape(1, 1, plen),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(n_off)
     s_energy = windowed_sum(region * region, plen)
     denom = jnp.sqrt(s_energy * t_energy)
 
