@@ -93,19 +93,12 @@ class StreamingReceiver:
         self._step()
 
     def _remove_dc(self, x: np.ndarray) -> np.ndarray:
-        """EMA DC tracker (app.js:750-755), vectorized in closed form:
-        dc[i] = a^(i+1) dc0 + (1-a) sum_j a^(i-j) x[j]."""
-        n = len(x)
-        if n == 0:
-            return x
-        a = self.dc_alpha
-        # a^-j stays bounded for block-sized n (0.999^-4096 ~ 60)
-        powers = a ** np.arange(1, n + 1, dtype=np.float64)  # a^(i+1)
-        inv = a ** -np.arange(n, dtype=np.float64)  # a^-j
-        weighted = np.cumsum(x.astype(np.float64) * inv)
-        dc = powers * self.dc_mean + (1 - a) * (powers / a) * weighted
-        self.dc_mean = float(dc[-1])
-        return (x - dc).astype(np.float32)
+        """EMA DC tracker (app.js:750-755): native C++ sequential loop, with
+        a closed-form numpy fallback inside audio_modem_tpu.native."""
+        from audio_modem_tpu import native
+
+        cleaned, self.dc_mean = native.ema_dc_removal(x, self.dc_alpha, self.dc_mean)
+        return cleaned
 
     def _step(self) -> None:
         progressed = True
