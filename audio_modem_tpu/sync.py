@@ -28,62 +28,36 @@ XCORR_THRESHOLD = 0.1
 XCORR_MIN_DENOM = 0.001
 
 
-_BLOCK = 64
-
-
 def windowed_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Sliding-window sum over the last axis, 'valid' mode:
     [..., T] -> [..., T - window + 1].
 
-    When window and T are multiples of 64 (true for every window this
-    framework uses: 256-sample Schmidl-Cox halves and 576/640/768 symbol
-    energies over 64-aligned buckets), uses an exact O(T) blocked
-    decomposition: sum[d, d+w) = (k full block totals) + (head/tail
-    within-block cumsums). Every term is a LOCAL sum of <= w elements, so
-    unlike a global-cumsum difference there is no long-range float32
-    cancellation, and unlike a ones-kernel conv the cost is O(T) not O(T*w).
-    Falls back to the conv formulation otherwise.
+    Doubling decomposition (Hillis-Steele over windows): build
+    S_k[d] = sum_{j<k} x[d+j] for powers of two by S_2k[d] = S_k[d] + S_k[d+k],
+    then compose the binary expansion of ``window`` with shifted adds. Exact
+    pairwise-tree summation (no long-range float32 cancellation, unlike a
+    global-cumsum difference), O(T log window) vector adds (unlike the
+    O(T * window) ones-kernel conv), shift-only memory access (no gathers),
+    and fully batched over leading axes. Works for any window/T.
     """
-    *lead, t = x.shape
-    if window % _BLOCK or t % _BLOCK:
-        return _windowed_sum_conv(x, window)
-    b = _BLOCK
-    k = window // b
-    nb = t // b
-    xb = x.reshape(*lead, nb, b).astype(jnp.float32)
-    c = jnp.cumsum(xb, axis=-1)  # within-block inclusive cumsum (local)
-    totals = c[..., -1]  # [.., nb]
-    # Tw[q] = totals[q] + ... + totals[q+k-1]  (k is tiny: 4..12)
-    tw = totals[..., : nb - k + 1]
-    for j in range(1, k):
-        tw = tw + totals[..., j : nb - k + 1 + j]
-    # cvec[m] = within-block cumsum up to m-1, i.e. 0 at block starts
-    cflat = c.reshape(*lead, t)
-    cvec = jnp.concatenate(
-        [jnp.zeros((*lead, 1), jnp.float32), cflat[..., :-1]], axis=-1
-    )
-    block_start = (jnp.arange(t) % b) == 0
-    cvec = jnp.where(block_start, 0.0, cvec)
-    cvec = jnp.concatenate([cvec, jnp.zeros((*lead, 1), jnp.float32)], axis=-1)  # cvec[t]=0
-
+    t = x.shape[-1]
+    x = x.astype(jnp.float32)
+    powers = [1 << b for b in range(window.bit_length()) if window & (1 << b)]
+    top = max(powers)
+    cache = {1: x}
+    k = 1
+    while 2 * k <= top:
+        s = cache[k]
+        cache[2 * k] = s[..., : s.shape[-1] - k] + s[..., k:]
+        k *= 2
     n_pos = t - window + 1
-    tw_rep = jnp.repeat(tw, b, axis=-1)[..., :n_pos]
-    return tw_rep + cvec[..., window : window + n_pos] - cvec[..., :n_pos]
-
-
-def _windowed_sum_conv(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    *lead, t = x.shape
-    flat = x.reshape(-1, 1, t).astype(jnp.float32)
-    kernel = jnp.ones((1, 1, window), jnp.float32)
-    out = jax.lax.conv_general_dilated(
-        flat,
-        kernel,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(*lead, t - window + 1)
+    out = None
+    off = 0
+    for pk in sorted(powers, reverse=True):
+        seg = cache[pk][..., off : off + n_pos]
+        out = seg if out is None else out + seg
+        off += pk
+    return out
 
 
 def preprocess(signal: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
