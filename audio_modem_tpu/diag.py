@@ -85,6 +85,10 @@ def analyze_loopback(recorded: np.ndarray, mode: ModemMode, test_data: bytes = T
     coarse, _ = sync.detect_preamble(pre, p, jnp.int32(n_valid))
     coarse = int(coarse)
     if coarse < 0:
+        # fall back to cross-correlation, like modem.js:980-984
+        coarse_t, _ = sync.detect_preamble_xcorr(pre, p, jnp.int32(n_valid))
+        coarse = int(coarse_t)
+    if coarse < 0:
         return LoopbackReport(False, 0.0, 1.0, np.zeros(0), 0.0, "poor")
 
     start_t, metric_t = sync.refine_xcorr(pre, jnp.int32(coarse), p, jnp.int32(n_valid))
@@ -132,6 +136,74 @@ def analyze_loopback(recorded: np.ndarray, mode: ModemMode, test_data: bytes = T
     else:
         quality = "poor"
     return LoopbackReport(True, correlation, ber, ch_mag, float(snr_db), quality)
+
+
+def ber_vs_snr(
+    mode: ModemMode,
+    snrs_db: tuple[float, ...] = (0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0),
+    n_streams: int = 16,
+    n_sym: int = 8,
+    seed: int = 0,
+) -> dict[float, float]:
+    """BER-vs-SNR curve via the batched loopback step — one vmapped device
+    computation per SNR point over a stream batch. The reference has no
+    channel sweep capability at all (SURVEY §5 fault injection: none)."""
+    import jax
+
+    from audio_modem_tpu.parallel.batch import batch_loopback_step
+
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, (n_streams, n_sym * mode.bits_per_symbol), dtype=np.int8)
+    bits_d = jnp.asarray(bits)
+    out = {}
+    for i, snr in enumerate(snrs_db):
+        ber, _ = batch_loopback_step(bits_d, jax.random.PRNGKey(seed + i), mode, n_sym, float(snr))
+        out[float(snr)] = float(ber)
+    return out
+
+
+def render_chunk_bitmap(bitmap: np.ndarray, width: int = 64) -> str:
+    """Text rendering of the received-chunk bitmap (app.js:1025-1053 analog):
+    one cell per chunk group, '#' complete / '+' partial / '.' missing."""
+    n = len(bitmap)
+    if n == 0:
+        return ""
+    cells = min(width, n)
+    lines = []
+    edges = np.linspace(0, n, cells + 1).astype(int)
+    row = []
+    for i in range(cells):
+        seg = bitmap[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        frac = seg.mean()
+        row.append("#" if frac == 1.0 else ("+" if frac > 0 else "."))
+    lines.append("".join(row))
+    return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class RateInfo:
+    """Live rate/max-size estimate (updateModulationInfo, app.js:32-58)."""
+
+    mode: str
+    raw_bits_per_sec: float
+    effective_bytes_per_sec: float
+    max_bytes: int
+    max_duration_sec: float
+
+
+def rate_info(mode: ModemMode, max_duration_sec: float = 120.0) -> RateInfo:
+    """Reference formula app.js:38-53: symbol rate x bits/symbol, minus
+    sync/CE overhead and repetition, minus the ~15B header."""
+    p = mode.profile
+    sym_duration = p.symbol_len / p.sample_rate
+    raw = mode.bits_per_symbol / sym_duration
+    overhead = (1.0 if p.is_acoustic else 0.5) + 3 * sym_duration
+    avail = max_duration_sec - overhead
+    max_symbols = int(avail / sym_duration)
+    max_bits = max_symbols * mode.bits_per_symbol
+    max_bytes = max_bits // 8 // mode.repetition - 15
+    speed = max_bytes / avail if avail > 0 else 0.0
+    return RateInfo(mode.name, raw, speed, int(max_bytes), max_duration_sec)
 
 
 @dataclasses.dataclass

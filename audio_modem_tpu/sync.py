@@ -145,6 +145,44 @@ def _template(profile: OfdmProfile) -> tuple[np.ndarray, float]:
     return pre1, t_energy
 
 
+def detect_preamble_xcorr(
+    signal: jnp.ndarray, profile: OfdmProfile, n_valid: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-signal normalized cross-correlation detector (modem.js:235-283).
+
+    The reference's fallback for when autocorrelation fails (used by the
+    loopback analyzer, modem.js:980-984): correlate against the regenerated
+    preamble-1 template. The reference scans coarsely (step = pLen/10) then
+    finely around the winner; on TPU the dense scan is one correlation conv,
+    so we evaluate every position directly — a strict superset of the
+    reference's two-pass search, same 0.15 threshold.
+
+    Returns (best_idx int32, best_metric f32); best_idx = -1 below threshold.
+    """
+    pre1, t_energy = _template(profile)
+    plen = profile.symbol_len
+    t = signal.shape[-1]
+    s = signal.astype(jnp.float32)
+    lead = s.shape[:-1]
+    flat = s.reshape(-1, 1, t)
+    corr = jax.lax.conv_general_dilated(
+        flat,
+        jnp.asarray(pre1).reshape(1, 1, plen),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(*lead, t - plen + 1)
+    s_energy = windowed_sum(s * s, plen)
+    denom = jnp.sqrt(s_energy * t_energy)
+    d = jnp.arange(t - plen + 1)
+    ok = (denom > XCORR_MIN_DENOM) & (d <= jnp.asarray(n_valid)[..., None] - plen)
+    metric = jnp.where(ok, corr / jnp.where(ok, denom, 1.0), 0.0)
+    best = metric.max(axis=-1)
+    idx = metric.argmax(axis=-1).astype(jnp.int32)
+    return jnp.where(best > 0.15, idx, -1), best
+
+
 def refine_xcorr(
     signal: jnp.ndarray,
     coarse_idx: jnp.ndarray,

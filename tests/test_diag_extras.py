@@ -1,0 +1,69 @@
+"""Tests for the xcorr fallback detector, BER sweep, rate info, bitmap."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu import diag, framing, sync
+from audio_modem_tpu.configs import MODES
+
+
+class TestXcorrFallback:
+    def test_finds_preamble_dense(self):
+        mode = MODES["QPSK"]
+        sig = framing.build_transmit_signal(b"x" * 100, mode, "f")
+        n = len(sig)
+        pad = np.zeros(-(-n // 64) * 64, np.float32)
+        pad[:n] = sig
+        sp = sync.preprocess(jnp.asarray(pad), jnp.int32(n))
+        idx, best = sync.detect_preamble_xcorr(sp, mode.profile, jnp.int32(n))
+        true_start = mode.profile.silence_pre_legacy()
+        assert abs(int(idx) - true_start) <= 2
+        assert float(best) > 0.9
+
+    def test_noise_metric_is_weak(self):
+        # With a 576-sample template, noise max-xcorr over thousands of
+        # positions sits near the reference's (weak) 0.15 threshold; assert
+        # it stays far below real-signal levels (>0.9).
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(8192).astype(np.float32) * 0.1
+        idx, best = sync.detect_preamble_xcorr(
+            jnp.asarray(noise), MODES["QPSK"].profile, jnp.int32(8192)
+        )
+        assert float(best) < 0.3
+
+
+class TestBerSweep:
+    def test_monotone_ish(self):
+        curve = diag.ber_vs_snr(MODES["QPSK"], snrs_db=(-5.0, 10.0, 30.0), n_streams=4, n_sym=4)
+        assert curve[30.0] == 0.0
+        assert curve[-5.0] > 0.05
+        assert curve[-5.0] >= curve[10.0] >= curve[30.0]
+
+
+class TestRateInfo:
+    def test_against_published_orders(self):
+        # README_en.md:49-53 orders of magnitude (BASELINE.md table)
+        qpsk = diag.rate_info(MODES["QPSK"])
+        assert 2000 < qpsk.effective_bytes_per_sec < 4100  # ~2.5 KB/s published
+        qam = diag.rate_info(MODES["16-QAM"])
+        assert 4500 < qam.effective_bytes_per_sec < 8200  # ~5 KB/s published
+        ac = diag.rate_info(MODES["BPSK-ACOUSTIC"])
+        assert 300 < ac.effective_bytes_per_sec < 600  # ~0.5 KB/s published
+        rep = diag.rate_info(MODES["BPSK-REPEAT"])
+        assert 100 < rep.effective_bytes_per_sec < 250  # ~170 B/s published
+
+    def test_max_bytes_scales_with_duration(self):
+        a = diag.rate_info(MODES["QPSK"], 60.0)
+        b = diag.rate_info(MODES["QPSK"], 120.0)
+        assert b.max_bytes > a.max_bytes * 1.9
+
+
+class TestBitmap:
+    def test_render(self):
+        bm = np.zeros(100, bool)
+        bm[:50] = True
+        s = diag.render_chunk_bitmap(bm, width=10)
+        assert s == "#####....."
+        assert diag.render_chunk_bitmap(np.ones(5, bool), width=10) == "#####"
+        bm2 = np.zeros(4, bool); bm2[0] = True
+        assert diag.render_chunk_bitmap(bm2, width=2) == "+."  # half-full cell
