@@ -47,8 +47,18 @@ def _tx_matrix(profile: OfdmProfile) -> np.ndarray:
 @lru_cache(maxsize=None)
 def _rx_matrix(profile: OfdmProfile) -> np.ndarray:
     """[fft_size, 2*n_active] f32: columns = stacked (cos_k, -sin_k)."""
+    return _rx_matrix_for_bins(profile, tuple(profile.active_bins.tolist()))
+
+
+@lru_cache(maxsize=None)
+def _rx_matrix_for_bins(profile: OfdmProfile, bins: tuple[int, ...]) -> np.ndarray:
+    """[fft_size, 2*len(bins)] f32 RX DFT restricted to arbitrary bins.
+
+    Splitting the RX transform per bin-group (data vs pilot) folds the
+    subcarrier selection into the contraction itself — no per-symbol gathers
+    downstream, which XLA lowers poorly on TPU."""
     n = profile.fft_size
-    k = profile.active_bins[None, :].astype(np.float64)
+    k = np.asarray(bins)[None, :].astype(np.float64)
     t = np.arange(n)[:, None].astype(np.float64)
     ang = 2.0 * np.pi * k * t / n
     cos = np.cos(ang)
@@ -67,3 +77,14 @@ def time_to_spec(body: jnp.ndarray, profile: OfdmProfile) -> tuple[jnp.ndarray, 
     out = jnp.matmul(body.astype(jnp.float32), _rx_matrix(profile), precision=_PRECISION)
     n_act = profile.num_active_subs
     return out[..., :n_act], out[..., n_act:]
+
+
+def time_to_spec_bins(
+    body: jnp.ndarray, profile: OfdmProfile, bins: tuple[int, ...]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real time domain [..., fft_size] -> spectrum at the given bins only."""
+    out = jnp.matmul(
+        body.astype(jnp.float32), _rx_matrix_for_bins(profile, bins), precision=_PRECISION
+    )
+    n = len(bins)
+    return out[..., :n], out[..., n:]

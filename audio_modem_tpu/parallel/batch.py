@@ -39,17 +39,18 @@ def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) 
     return phy.demodulate(data, ch_re, ch_im, mode)
 
 
-def _single_signal_decode(signal, n_valid, mode: ModemMode, max_syms: int):
-    """vmappable full pipeline: preprocess -> detect -> refine -> CE -> demod."""
+def _single_signal_decode(sig_ext, n_valid, mode: ModemMode, max_syms: int):
+    """vmappable pipeline body. ``sig_ext`` is preprocessed AND already
+    zero-extended by (3 + max_syms) * symbol_len past its nominal length
+    (done once for the whole batch — padding inside vmap materializes a
+    second batch-sized buffer per stream)."""
     p = mode.profile
     sym = p.symbol_len
-    sig = sync.preprocess(signal, n_valid)
-    coarse, coarse_metric = sync.detect_preamble(sig, p, n_valid)
-    start, fine_metric = sync.refine_xcorr(sig, jnp.maximum(coarse, 0), p, n_valid)
-    ext = jnp.pad(sig, (0, (3 + max_syms) * sym))
-    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    coarse, coarse_metric = sync.detect_preamble(sig_ext, p, n_valid)
+    start, fine_metric = sync.refine_xcorr(sig_ext, jnp.maximum(coarse, 0), p, n_valid)
+    ce = jax.lax.dynamic_slice(sig_ext, (start + 2 * sym,), (sym,))
     ch_re, ch_im = phy.estimate_channel(ce, p)
-    data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (max_syms * sym,))
+    data = jax.lax.dynamic_slice(sig_ext, (start + 3 * sym,), (max_syms * sym,))
     bits = phy.demodulate(data.reshape(max_syms, sym), ch_re, ch_im, mode)
     ok = (coarse >= 0) & (fine_metric >= sync.XCORR_THRESHOLD)
     return {
@@ -69,7 +70,10 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
     Returns dict of [B]-leading arrays (bits [B, max_syms*bits_per_symbol]).
     Shard ``signals``/``n_valid`` over the stream axis for multi-chip.
     """
-    return jax.vmap(lambda s, nv: _single_signal_decode(s, nv, mode, max_syms))(signals, n_valid)
+    sym = mode.profile.symbol_len
+    sig = sync.preprocess(signals, n_valid)
+    ext = jnp.pad(sig, ((0, 0), (0, (3 + max_syms) * sym)))
+    return jax.vmap(lambda s, nv: _single_signal_decode(s, nv, mode, max_syms))(ext, n_valid)
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym", "snr_db"))

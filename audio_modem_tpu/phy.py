@@ -15,7 +15,7 @@ import numpy as np
 
 from audio_modem_tpu.configs import ModemMode, OfdmProfile
 from audio_modem_tpu.ops import constellations as con
-from audio_modem_tpu.ops.dft import spec_to_time, time_to_spec
+from audio_modem_tpu.ops.dft import spec_to_time, time_to_spec, time_to_spec_bins
 
 
 @lru_cache(maxsize=None)
@@ -112,19 +112,37 @@ def demodulate(
 ) -> jnp.ndarray:
     """Symbols [..., n_sym, symbol_len] -> hard bits [..., n_sym*bits_per_symbol].
 
-    Matches demodulateOFDM (modem.js:365-418): strip CP, active-bin DFT,
+    Matches demodulateOFDM (modem.js:365-418): strip CP, per-bin DFT,
     one-tap EQ, pilot common-phase rotation (cr, ci) = (re + im*phi, im - re*phi),
-    nearest-point demap. ch_* broadcast over the symbol axis.
+    nearest-point demap. ch_* are active-bin channel arrays broadcast over
+    the symbol axis.
+
+    The DFT is computed separately for data and pilot bins (the subcarrier
+    selection is folded into the contraction matrices), so the per-symbol
+    path is pure matmul + elementwise — no gathers.
     """
     p = mode.profile
     tabs = _bin_tables(p)
     body = strip_cp(symbols, p)
-    spec_re, spec_im = time_to_spec(body, p)
-    eq_re, eq_im = equalize(spec_re, spec_im, ch_re[..., None, :], ch_im[..., None, :])
-    phi = pilot_phase(eq_re, eq_im, p)[..., None]
+    data_bins = tuple(int(b) for b in p.data_bins)
+    pilot_bins = tuple(int(b) for b in p.pilot_bins)
+    d_re, d_im = time_to_spec_bins(body, p, data_bins)
+    p_re, p_im = time_to_spec_bins(body, p, pilot_bins)
 
-    pos = tabs["data_pos"]
-    dr, di = eq_re[..., pos], eq_im[..., pos]
+    # channel gathered once per stream (tiny), broadcast over symbols
+    dpos, ppos = tabs["data_pos"], tabs["pilot_pos"]
+    chd_re, chd_im = ch_re[..., dpos][..., None, :], ch_im[..., dpos][..., None, :]
+    chp_re, chp_im = ch_re[..., ppos][..., None, :], ch_im[..., ppos][..., None, :]
+
+    dr, di = equalize(d_re, d_im, chd_re, chd_im)
+    pr, pi = equalize(p_re, p_im, chp_re, chp_im)
+
+    # pilot common-phase: mean of Im/Re over usable pilots (modem.js:397-405)
+    usable = jnp.abs(pr) > 1e-6
+    ratio = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
+    cnt = usable.sum(axis=-1)
+    phi = jnp.where(cnt > 0, ratio.sum(axis=-1) / jnp.maximum(cnt, 1), 0.0)[..., None]
+
     cr = dr + di * phi
     ci = di - dr * phi
     bits = con.demap(mode.constellation, cr, ci)  # [..., n_sym, n_data*bps]
