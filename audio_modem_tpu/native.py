@@ -49,6 +49,11 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
                 ctypes.c_int64, ctypes.c_int,
             ]
+            lib.ema_dc_removal_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -81,6 +86,27 @@ def ema_dc_removal(x: np.ndarray, alpha: float, dc_state: float) -> tuple[np.nda
         len(x), alpha, ctypes.byref(state),
     )
     return y, state.value
+
+
+def ema_dc_removal_batch(x: np.ndarray, alpha: float, dc_states: np.ndarray) -> np.ndarray:
+    """[N, n] blocks + [N] states -> cleaned [N, n]; states updated in place."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if lib is None:
+        out = np.empty_like(x)
+        for i in range(x.shape[0]):
+            out[i], dc_states[i] = ema_dc_removal(x[i], alpha, float(dc_states[i]))
+        return out
+    y = np.empty_like(x)
+    states = np.ascontiguousarray(dc_states, dtype=np.float64)
+    lib.ema_dc_removal_batch(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0], x.shape[1], alpha,
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    dc_states[:] = states
+    return y
 
 
 def crc32(data: bytes | np.ndarray) -> int:

@@ -1,0 +1,313 @@
+"""Multi-stream streaming receiver: N concurrent FSMs, dense batched device
+programs (BASELINE config 5: '500MB file over 64 parallel batched streams').
+
+Where runtime.receiver.StreamingReceiver makes one small device call per
+stream per state transition, BatchReceiver runs ALL streams through fixed
+batched executables every block, SPMD-style:
+
+  1. ingest: batched native EMA DC removal, per-stream ring writes
+  2. scan:   one [N, SCAN_BUCKET] detection call; streams not scanning are
+             masked out via n_valid = 0
+  3. refine: one [N, region] xcorr call, masked the same way
+  4. demod:  ready frames grouped by (normalized) frame length, one
+             batch_decode_chunk_frames call per group
+
+Host keeps only the per-stream FSM enums/counters and byte-level routing —
+a few comparisons per stream per block. Shard the batch axis over a mesh to
+span chips (the per-stage arrays are leading-axis sharded).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_modem_tpu import framing, native, sync
+from audio_modem_tpu.configs import ModemMode
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
+from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames
+from audio_modem_tpu.runtime.assembler import ChunkAssembler
+from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
+from audio_modem_tpu.runtime.ring import RingBuffer
+from audio_modem_tpu.utils.metrics import StreamStats
+
+SCAN_BUCKET = 8192
+
+
+@partial(jax.jit, static_argnames=("profile",))
+def _batch_scan(windows: jnp.ndarray, n_valid: jnp.ndarray, profile):
+    return sync.detect_preamble(windows, profile, n_valid, min_energy=STREAM_MIN_ENERGY)
+
+
+@partial(jax.jit, static_argnames=("profile",))
+def _batch_refine(regions: jnp.ndarray, coarse_rel: jnp.ndarray, n_valid: jnp.ndarray, profile):
+    return jax.vmap(lambda r, c, n: sync.refine_xcorr(r, c, profile, n))(regions, coarse_rel, n_valid)
+
+
+class _Stream:
+    __slots__ = (
+        "ring", "assembler", "stats", "state", "meta_received",
+        "scan_pos", "preamble_pos", "expected_frame_end",
+    )
+
+    def __init__(self, ring_capacity: int, persist_path: str | None, resume: bool):
+        self.ring = RingBuffer(ring_capacity)
+        self.assembler = ChunkAssembler(persist_path, resume)
+        self.stats = StreamStats()
+        self.state = RecvState.IDLE
+        self.meta_received = False
+        self.scan_pos = 0
+        self.preamble_pos = -1
+        self.expected_frame_end = -1
+
+
+class BatchReceiver:
+    """N independent streams decoded with shared batched device programs."""
+
+    def __init__(
+        self,
+        mode: ModemMode,
+        n_streams: int,
+        persist_dir: str | None = None,
+        resume: bool = False,
+        dc_alpha: float = 0.999,
+    ):
+        self.mode = mode
+        self.n = n_streams
+        p = mode.profile
+        max_payload = max(mode.chunk_size, 4096) + 16
+        max_frame = framing.estimate_frame_samples(max_payload, mode)
+        cap = max_frame * 3 + 8192
+        self.streams = [
+            _Stream(
+                cap,
+                f"{persist_dir}/stream{i}.db" if persist_dir else None,
+                resume,
+            )
+            for i in range(n_streams)
+        ]
+        self.dc_alpha = dc_alpha
+        self.dc_states = np.zeros(n_streams, dtype=np.float64)
+        self._half = p.fft_size // 2
+        plen = p.symbol_len
+        radius = 3 * p.cp_len
+        self._region_len = 2 * radius + plen
+        self._refine_pad = self._region_len + plen
+
+    # ---- ingest ----
+
+    def process_blocks(self, blocks: np.ndarray) -> None:
+        """blocks: [n_streams, block_len] float32 — one audio block per
+        stream, all streams in lockstep (pad with zeros for silent ones)."""
+        assert blocks.shape[0] == self.n
+        cleaned = native.ema_dc_removal_batch(blocks, self.dc_alpha, self.dc_states)
+        for s, row in zip(self.streams, cleaned):
+            s.ring.write(row)
+        # iterate state steps until no stream progresses (frames can
+        # complete several states within one block)
+        for _ in range(8):
+            if not self._step_all():
+                break
+
+    def _step_all(self) -> bool:
+        progressed = self._scan_all()
+        progressed |= self._refine_all()
+        progressed |= self._demod_ready()
+        return progressed
+
+    # ---- batched scan ----
+
+    def _scan_all(self) -> bool:
+        p = self.mode.profile
+        windows = np.zeros((self.n, SCAN_BUCKET), np.float32)
+        lens = np.zeros(self.n, np.int32)
+        active = []
+        for i, s in enumerate(self.streams):
+            if s.state is not RecvState.IDLE:
+                continue
+            total = s.ring.total_written
+            s.scan_pos = max(s.scan_pos, total - s.ring.capacity, 0)
+            scan_end = total - 2 * self._half
+            if s.scan_pos > scan_end:
+                continue
+            n_pos = min(scan_end - s.scan_pos + 1, SCAN_BUCKET - 2 * self._half)
+            win_len = n_pos + 2 * self._half - 1
+            w = s.ring.get_range(s.scan_pos, win_len)
+            if w is None:
+                continue
+            windows[i, :win_len] = w
+            lens[i] = win_len
+            active.append((i, n_pos))
+        if not active:
+            return False
+        idx, _ = _batch_scan(jnp.asarray(windows), jnp.asarray(lens), p)
+        idx = np.asarray(idx)
+        progressed = False
+        for i, n_pos in active:
+            s = self.streams[i]
+            if idx[i] >= 0:
+                s.preamble_pos = s.scan_pos + int(idx[i])
+                s.scan_pos = s.preamble_pos + self._half
+                s.state = RecvState.PREAMBLE_DETECTED
+            else:
+                s.scan_pos += n_pos
+            progressed = True
+        return progressed
+
+    # ---- batched refine ----
+
+    def _refine_all(self) -> bool:
+        p = self.mode.profile
+        plen = p.symbol_len
+        radius = 3 * p.cp_len
+        regions = np.zeros((self.n, self._refine_pad), np.float32)
+        coarse_rel = np.zeros(self.n, np.int32)
+        lens = np.zeros(self.n, np.int32)
+        active: list[tuple[int, int]] = []
+        for i, s in enumerate(self.streams):
+            if s.state is not RecvState.PREAMBLE_DETECTED:
+                continue
+            if s.ring.total_written < s.preamble_pos + plen + radius:
+                continue  # wait for samples
+            lo = max(s.ring.total_written - s.ring.capacity, s.preamble_pos - radius, 0)
+            avail = min(self._region_len, s.ring.available_from(lo))
+            region = s.ring.get_range(lo, avail)
+            if region is None:
+                s.state = RecvState.IDLE
+                continue
+            regions[i, : len(region)] = region
+            coarse_rel[i] = s.preamble_pos - lo
+            lens[i] = len(region)
+            active.append((i, lo))
+        if not active:
+            return False
+        best_rel, metric = _batch_refine(
+            jnp.asarray(regions), jnp.asarray(coarse_rel), jnp.asarray(lens), p
+        )
+        best_rel, metric = np.asarray(best_rel), np.asarray(metric)
+        for i, lo in active:
+            s = self.streams[i]
+            if metric[i] < sync.XCORR_THRESHOLD:
+                s.state = RecvState.IDLE  # false positive (app.js:879-884)
+                continue
+            s.preamble_pos = lo + int(best_rel[i])
+            max_payload = (
+                (s.assembler.chunk_size or 4096) + 11 if s.meta_received else PRE_META_MAX_PAYLOAD
+            )
+            s.expected_frame_end = s.preamble_pos + framing.estimate_frame_samples(
+                max_payload, self.mode
+            )
+            s.state = RecvState.COLLECTING_FRAME
+        return True
+
+    # ---- batched demod ----
+
+    def _demod_ready(self) -> bool:
+        groups: dict[int, list[int]] = {}
+        for i, s in enumerate(self.streams):
+            if s.state is not RecvState.COLLECTING_FRAME:
+                continue
+            if s.ring.total_written < s.expected_frame_end:
+                continue
+            groups.setdefault(s.expected_frame_end - s.preamble_pos, []).append(i)
+        if not groups:
+            return False
+        p = self.mode.profile
+        sym = p.symbol_len
+        for frame_len, members in groups.items():
+            n_sym = (frame_len - 3 * sym) // sym
+            usable = (3 + n_sym) * sym
+            frames = np.zeros((len(members), usable), np.float32)
+            ok_members = []
+            for row, i in enumerate(members):
+                s = self.streams[i]
+                f = s.ring.get_range(s.preamble_pos, usable)
+                if f is None:
+                    s.stats.frame_errors += 1
+                    self._reset(s, None)
+                    continue
+                frames[row] = f
+                ok_members.append((row, i))
+            if not ok_members:
+                continue
+            bits = np.asarray(
+                batch_decode_chunk_frames(jnp.asarray(frames), self.mode, n_sym)
+            )
+            for row, i in ok_members:
+                self._route(self.streams[i], bits[row], n_sym)
+        return True
+
+    def _route(self, s: _Stream, bits: np.ndarray, n_sym: int) -> None:
+        b = bits[: n_sym * self.mode.bits_per_symbol]
+        if self.mode.repetition > 1:
+            b = majority_vote(b, self.mode.repetition)
+        result = framing.parse_payload_bytes(bits_to_bytes(b), min_len=6)
+        resume_pos = None
+        if isinstance(result, framing.FrameError):
+            s.stats.frame_errors += 1
+            resume_pos = s.preamble_pos + 4 * self.mode.profile.symbol_len
+        else:
+            s.stats.frames_decoded += 1
+            payload_len = None
+            if isinstance(result, framing.MetaFrame):
+                if result.crc_valid:
+                    s.assembler.handle_metadata(result)
+                    s.meta_received = True
+                    s.stats.total_chunks = result.total_chunks
+                    payload_len = 12 + len(result.file_name.encode("utf-8")) + 4
+                else:
+                    s.stats.frame_errors += 1
+            elif isinstance(result, framing.DataFrame):
+                s.assembler.handle_data_chunk(result)
+                s.stats.crc_errors = s.assembler.crc_errors
+                s.stats.chunks_received = s.assembler.received_count
+                if result.crc_valid:
+                    payload_len = 11 + len(result.data)
+            if payload_len is not None:
+                actual = framing.estimate_frame_samples(payload_len, self.mode)
+                resume_pos = min(s.preamble_pos + actual, s.expected_frame_end)
+        self._reset(s, resume_pos)
+
+    def _reset(self, s: _Stream, resume_pos: int | None) -> None:
+        if resume_pos is not None:
+            s.scan_pos = resume_pos
+        elif s.expected_frame_end > 0:
+            s.scan_pos = s.expected_frame_end
+        s.preamble_pos = -1
+        s.expected_frame_end = -1
+        s.state = RecvState.IDLE
+
+    # ---- results ----
+
+    def flush(self) -> None:
+        """Decode partially collected frames at end of input."""
+        p = self.mode.profile
+        for s in self.streams:
+            if s.state is RecvState.COLLECTING_FRAME and s.preamble_pos >= 0:
+                have = s.ring.available_from(s.preamble_pos)
+                if have >= 4 * p.symbol_len:
+                    s.expected_frame_end = s.preamble_pos + have
+        self._demod_ready()
+        # streams still waiting with partial frames: truncate expectations
+        for _ in range(2):
+            self._demod_ready()
+
+    def results(self):
+        return [
+            {
+                "complete": s.assembler.is_complete,
+                "data": s.assembler.assemble() if s.assembler.total_chunks else b"",
+                "file_name": s.assembler.file_name,
+                "missing": s.assembler.missing_chunks(),
+                "stats": s.stats,
+            }
+            for s in self.streams
+        ]
+
+    def cleanup(self) -> None:
+        for s in self.streams:
+            s.assembler.cleanup()

@@ -30,6 +30,14 @@ void ema_dc_removal(const float* x, float* y, int64_t n, double alpha,
     *dc_state = dc;
 }
 
+// Batched variant for the multi-stream runtime: x/y are [n_streams, n],
+// dc_states is [n_streams]; each row is an independent recurrence.
+void ema_dc_removal_batch(const float* x, float* y, int64_t n_streams,
+                          int64_t n, double alpha, double* dc_states) {
+    for (int64_t s = 0; s < n_streams; ++s)
+        ema_dc_removal(x + s * n, y + s * n, n, alpha, dc_states + s);
+}
+
 namespace {
 struct Crc8Tables {
     uint32_t t[8][256];

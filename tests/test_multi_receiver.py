@@ -1,0 +1,71 @@
+"""Batched multi-stream receiver: N concurrent transfers, one device batch."""
+
+import numpy as np
+import pytest
+
+from audio_modem_tpu import api
+from audio_modem_tpu.configs import MODES
+from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
+
+
+def _feed_batch(rx: BatchReceiver, signals: list[np.ndarray], block: int = 4096):
+    t = max(len(s) for s in signals)
+    for off in range(0, t, block):
+        blocks = np.zeros((len(signals), block), np.float32)
+        for i, s in enumerate(signals):
+            seg = s[off : off + block]
+            blocks[i, : len(seg)] = seg
+        rx.process_blocks(blocks)
+    rx.flush()
+
+
+class TestBatchReceiver:
+    def test_eight_streams_eight_files(self):
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(61)
+        files = [rng.bytes(mode.chunk_size + 100 * i) for i in range(8)]
+        signals = [
+            np.concatenate(list(api.encode_chunked(f, mode, f"f{i}.bin")))
+            for i, f in enumerate(files)
+        ]
+        rx = BatchReceiver(mode, 8)
+        _feed_batch(rx, signals)
+        res = rx.results()
+        for i, (f, r) in enumerate(zip(files, res)):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
+            assert r["file_name"] == f"f{i}.bin"
+
+    def test_staggered_starts_and_noise(self):
+        mode = MODES["BPSK-ACOUSTIC"]
+        rng = np.random.default_rng(67)
+        files = [rng.bytes(200 + 64 * i) for i in range(4)]
+        signals = []
+        for i, f in enumerate(files):
+            sig = np.concatenate(list(api.encode_chunked(f, mode, f"s{i}")))
+            lead = (rng.standard_normal(3000 * i) * 0.002).astype(np.float32)
+            signals.append(np.concatenate([lead, sig]))
+        rx = BatchReceiver(mode, 4)
+        _feed_batch(rx, signals)
+        for i, (f, r) in enumerate(zip(files, rx.results())):
+            assert r["complete"], (i, r["missing"])
+            assert r["data"] == f
+
+    def test_matches_single_stream_receiver(self):
+        from audio_modem_tpu.runtime.receiver import StreamingReceiver
+
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(71)
+        data = rng.bytes(mode.chunk_size * 2 + 7)
+        sig = np.concatenate(list(api.encode_chunked(data, mode, "x")))
+
+        single = StreamingReceiver(mode)
+        for off in range(0, len(sig), 4096):
+            single.process_audio_block(sig[off : off + 4096])
+        single.flush()
+
+        batch = BatchReceiver(mode, 2)
+        _feed_batch(batch, [sig, sig])
+        r = batch.results()
+        assert single.assembler.assemble() == data
+        assert r[0]["data"] == data and r[1]["data"] == data
