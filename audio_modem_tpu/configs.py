@@ -242,6 +242,10 @@ MODES: dict[str, ModemMode] = {
     "BPSK-ACOUSTIC": ModemMode("BPSK-ACOUSTIC", "acoustic", "BPSK", 1, 512),
     "BPSK-REPEAT": ModemMode("BPSK-REPEAT", "acoustic", "BPSK", 3, 512),
     "BPSK-NARROW": ModemMode("BPSK-NARROW", "narrowband", "BPSK", 3, 512),
+    # EXTENSION mode: the reference spec promises 64-QAM at ~7.7 KB/s
+    # (docs/protocol_spec.md:26-27) but the code never implements it; this
+    # framework does. Same frame format — only the constellation differs.
+    "64-QAM": ModemMode("64-QAM", "standard", "QAM64", 1, 4096),
 }
 
 
@@ -250,7 +254,7 @@ def get_mode(name: str) -> ModemMode:
     key = name.upper().replace("_", "-")
     if key in MODES:
         return MODES[key]
-    aliases = {"QAM16": "16-QAM", "16QAM": "16-QAM", "BPSK": "BPSK-ACOUSTIC"}
+    aliases = {"QAM16": "16-QAM", "16QAM": "16-QAM", "QAM64": "64-QAM", "64QAM": "64-QAM", "BPSK": "BPSK-ACOUSTIC"}
     if key in aliases:
         return MODES[aliases[key]]
     raise KeyError(f"unknown mode {name!r}; valid: {sorted(MODES)}")

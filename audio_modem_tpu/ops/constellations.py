@@ -34,16 +34,29 @@ class Constellation:
         return np.asarray(self.points, dtype=np.float64)
 
 
-def _qam16_points() -> tuple[tuple[float, float], ...]:
-    # modem.js:117-129: idx -> (row=idx>>2, col=idx&3), Gray map each axis,
-    # (2*gc-3, 2*gr-3), normalized to unit average power (1/sqrt(10)).
+def _square_qam_points(bits_per_axis: int) -> tuple[tuple[float, float], ...]:
+    """Gray-coded square QAM, unit average power.
+
+    For 16-QAM this reproduces modem.js:117-129 exactly: idx -> (row, col),
+    Gray map each axis, levels 2g-(2^b-1), scaled by 1/sqrt(avg power).
+    64-QAM extends the same construction (the reference SPECIFIES 64-QAM at
+    ~7.7 KB/s in docs/protocol_spec.md:27 but never implements it — here it
+    is a real mode)."""
+    m = 1 << bits_per_axis  # levels per axis
+    top = m - 1
+    levels = [2 * g - top for g in range(m)]
+    avg = 2 * sum(l * l for l in levels) / m
+    s = 1.0 / math.sqrt(avg)
     pts = []
-    s = 1.0 / math.sqrt(10.0)
-    for i in range(16):
-        row, col = i >> 2, i & 3
+    for i in range(m * m):
+        row, col = i >> bits_per_axis, i & top
         gr, gc = row ^ (row >> 1), col ^ (col >> 1)
-        pts.append(((2 * gc - 3) * s, (2 * gr - 3) * s))
+        pts.append(((2 * gc - top) * s, (2 * gr - top) * s))
     return tuple(pts)
+
+
+def _qam16_points() -> tuple[tuple[float, float], ...]:
+    return _square_qam_points(2)
 
 
 _SQ = 1.0 / math.sqrt(2.0)
@@ -52,6 +65,8 @@ CONSTELLATIONS: dict[str, Constellation] = {
     "BPSK": Constellation("BPSK", 1, ((1.0, 0.0), (-1.0, 0.0))),
     "QPSK": Constellation("QPSK", 2, ((_SQ, _SQ), (-_SQ, _SQ), (-_SQ, -_SQ), (_SQ, -_SQ))),
     "QAM16": Constellation("QAM16", 4, _qam16_points()),
+    # Extension beyond the reference implementation (spec-only there):
+    "QAM64": Constellation("QAM64", 6, _square_qam_points(3)),
 }
 
 

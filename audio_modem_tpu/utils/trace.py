@@ -1,0 +1,60 @@
+"""Tracing / profiling helpers (SURVEY §5 tracing gap-fill).
+
+The reference's only observability is a timestamped DOM log
+(app.js:1176-1185). Here:
+
+* ``device_trace(logdir)`` — context manager around ``jax.profiler.trace``
+  producing TensorBoard/XProf traces of device execution.
+* ``StageTimer`` — lightweight wall-clock stage accounting for host-side
+  pipelines (detect/refine/demod breakdowns, Msamples/s counters).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a device profile into ``logdir`` (view with xprof/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Accumulates wall time + item counts per named stage.
+
+    with timer.stage("demod", samples=n):
+        ...
+    """
+
+    def __init__(self) -> None:
+        self.seconds: dict[str, float] = defaultdict(float)
+        self.items: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, samples: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.seconds[name] += time.perf_counter() - t0
+            self.items[name] += samples
+
+    def report(self) -> dict[str, dict[str, float]]:
+        out = {}
+        for name, sec in self.seconds.items():
+            n = self.items[name]
+            out[name] = {
+                "seconds": round(sec, 6),
+                "samples": n,
+                "msamples_per_sec": round(n / sec / 1e6, 3) if sec > 0 and n else 0.0,
+            }
+        return out

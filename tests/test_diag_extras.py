@@ -67,3 +67,36 @@ class TestBitmap:
         assert diag.render_chunk_bitmap(np.ones(5, bool), width=10) == "#####"
         bm2 = np.zeros(4, bool); bm2[0] = True
         assert diag.render_chunk_bitmap(bm2, width=2) == "+."  # half-full cell
+
+
+class TestQam64Extension:
+    """64-QAM: spec'd by the reference (docs/protocol_spec.md:27) but never
+    implemented there; a real mode here."""
+
+    def test_constellation(self):
+        from audio_modem_tpu.ops.constellations import CONSTELLATIONS
+
+        c = CONSTELLATIONS["QAM64"]
+        pts = c.points_np()
+        assert c.bps == 6 and len(pts) == 64
+        assert abs((pts**2).sum(axis=1).mean() - 1.0) < 1e-12
+
+    def test_roundtrip_and_rate(self):
+        from audio_modem_tpu import api, framing
+
+        mode_rate = diag.rate_info(MODES["64-QAM"])
+        assert 6500 < mode_rate.effective_bytes_per_sec < 12000  # ~7.7 KB/s spec'd
+        data = np.random.default_rng(73).bytes(4000)
+        sig = api.encode_legacy(data, "64-QAM", "q64.bin")
+        result, _ = api.decode(sig, "64-QAM")
+        assert isinstance(result, framing.LegacyFrame)
+        assert result.crc_valid and result.data == data
+
+    def test_under_mild_awgn(self):
+        from audio_modem_tpu import api, channel, framing
+
+        data = np.random.default_rng(79).bytes(1000)
+        sig = api.encode_legacy(data, "64-QAM", "n.bin")
+        rx = channel.apply_channel_np(sig, channel.ChannelSpec(snr_db=35.0), seed=7)
+        result, _ = api.decode(rx, "64-QAM")
+        assert isinstance(result, framing.LegacyFrame) and result.crc_valid

@@ -9,7 +9,9 @@ from audio_modem_tpu import decoder, framing
 from audio_modem_tpu.configs import MODES
 from tests.oracle import jsmodem as oracle
 
-ALL_MODES = list(MODES)
+# Reference modes only: the oracle models the reference implementation,
+# which does not implement the 64-QAM extension mode.
+ALL_MODES = ["QPSK", "16-QAM", "BPSK-ACOUSTIC", "BPSK-REPEAT", "BPSK-NARROW"]
 
 # Per-mode payload sizes chosen to span >1 OFDM symbol but keep tests fast.
 PAYLOAD_SIZES = {"QPSK": 1500, "16-QAM": 3000, "BPSK-ACOUSTIC": 300, "BPSK-REPEAT": 120, "BPSK-NARROW": 48}

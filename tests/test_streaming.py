@@ -169,3 +169,28 @@ class TestChannelRobustness:
         _feed(rx, noisy)
         assert rx.assembler.is_complete, rx.assembler.missing_chunks()
         assert rx.assembler.assemble() == data
+
+
+class TestClockDrift:
+    def test_decode_under_clock_offset(self):
+        """TX/RX sample-clock mismatch (channel.clock_drift): 50 ppm is a
+        realistic sound-card offset; the CP + per-frame re-sync absorb it."""
+        mode = MODES["BPSK-ACOUSTIC"]
+        data = np.random.default_rng(83).bytes(150)
+        sig = api.encode_legacy(data, mode, "d.bin")
+        drifted = channel.apply_channel_np(sig, channel.ChannelSpec(clock_ppm=50.0))
+        assert len(drifted) == len(sig)
+        result, _ = api.decode(drifted, mode)
+        assert isinstance(result, framing.LegacyFrame), getattr(result, "error", result)
+        assert result.crc_valid and result.data == data
+
+
+class TestStageTimer:
+    def test_report(self):
+        from audio_modem_tpu.utils.trace import StageTimer
+
+        t = StageTimer()
+        with t.stage("demod", samples=44100):
+            pass
+        rep = t.report()
+        assert "demod" in rep and rep["demod"]["samples"] == 44100
