@@ -194,3 +194,40 @@ class TestStageTimer:
             pass
         rep = t.report()
         assert "demod" in rep and rep["demod"]["samples"] == 44100
+
+
+class TestDropoutChannel:
+    def test_dropout_burst_loses_only_affected_chunks(self):
+        """A zeroed burst destroys at most the frames it overlaps; the
+        receiver recovers on the next preamble (simplex loss model)."""
+        mode = MODES["QPSK"]
+        data = np.random.default_rng(89).bytes(mode.chunk_size * 3)  # 3 chunks
+        frames = list(api.encode_chunked(data, mode, "drop.bin"))
+        signal = np.concatenate(frames)
+        # kill chunk 1's frame region entirely
+        start = sum(len(f) for f in frames[:2])
+        spec = channel.ChannelSpec(dropout=((start, len(frames[2])),))
+        damaged = channel.apply_channel_np(signal, spec)
+        rx = StreamingReceiver(mode)
+        _feed(rx, damaged)
+        missing = rx.assembler.missing_chunks()
+        assert 1 in missing
+        assert 0 not in missing and 2 not in missing
+        # partial assembly zero-fills the hole
+        out = rx.assembler.assemble()
+        assert out[: mode.chunk_size] == data[: mode.chunk_size]
+        assert out[2 * mode.chunk_size :] == data[2 * mode.chunk_size :]
+
+
+class TestMediumScaleChunked:
+    def test_quarter_megabyte_qpsk(self):
+        """Scaled-down BASELINE config 3 (QPSK chunked multi-frame file)."""
+        mode = MODES["QPSK"]
+        data = np.random.default_rng(97).bytes(256 * 1024)
+        res = api.decode_chunked(
+            np.concatenate(list(api.encode_chunked(data, mode, "big.bin"))), mode
+        )
+        assert not isinstance(res, framing.FrameError)
+        assert res.complete, res.missing_chunks
+        assert res.data == data
+        assert res.total_chunks == 128
