@@ -64,7 +64,7 @@ def _decode_core(
     sym = p.symbol_len
     sig = sync.preprocess(signal, n_valid)
 
-    coarse, _ = sync.detect_preamble(sig, p, n_valid, min_pos=min_pos)
+    coarse, _ = sync.detect_preamble(sig, p, n_valid, min_pos=min_pos, stride=sync.COARSE_STRIDE)
     safe_coarse = jnp.maximum(coarse, 0)
     start, fine_metric = sync.refine_xcorr(sig, safe_coarse, p, n_valid)
 

@@ -46,7 +46,7 @@ def _single_signal_decode(sig_ext, n_valid, mode: ModemMode, max_syms: int):
     second batch-sized buffer per stream)."""
     p = mode.profile
     sym = p.symbol_len
-    coarse, coarse_metric = sync.detect_preamble(sig_ext, p, n_valid)
+    coarse, coarse_metric = sync.detect_preamble(sig_ext, p, n_valid, stride=sync.COARSE_STRIDE)
     start, fine_metric = sync.refine_xcorr(sig_ext, jnp.maximum(coarse, 0), p, n_valid)
     ce = jax.lax.dynamic_slice(sig_ext, (start + 2 * sym,), (sym,))
     ch_re, ch_im = phy.estimate_channel(ce, p)

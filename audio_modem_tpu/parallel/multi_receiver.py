@@ -40,7 +40,7 @@ SCAN_BUCKET = 8192
 
 @partial(jax.jit, static_argnames=("profile",))
 def _batch_scan(windows: jnp.ndarray, n_valid: jnp.ndarray, profile):
-    return sync.detect_preamble(windows, profile, n_valid, min_energy=STREAM_MIN_ENERGY)
+    return sync.detect_preamble(windows, profile, n_valid, min_energy=STREAM_MIN_ENERGY, stride=sync.COARSE_STRIDE)
 
 
 @partial(jax.jit, static_argnames=("profile",))

@@ -46,7 +46,7 @@ class RecvState(enum.Enum):
 
 @partial(jax.jit, static_argnames=("profile",))
 def _scan_window(window: jnp.ndarray, n_valid: jnp.ndarray, profile):
-    return sync.detect_preamble(window, profile, n_valid, min_energy=STREAM_MIN_ENERGY)
+    return sync.detect_preamble(window, profile, n_valid, min_energy=STREAM_MIN_ENERGY, stride=sync.COARSE_STRIDE)
 
 
 @partial(jax.jit, static_argnames=("profile", "pad_len"))

@@ -26,6 +26,9 @@ AUTOCORR_THRESHOLD = 0.5
 AUTOCORR_MIN_ENERGY = 0.01
 XCORR_THRESHOLD = 0.1
 XCORR_MIN_DENOM = 0.001
+# Coarse-scan stride: safe up to CP_LEN/4 (see detect_preamble docstring);
+# the smallest CP is 64, so 16 works for every profile.
+COARSE_STRIDE = 16
 
 
 def windowed_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -77,12 +80,27 @@ def preprocess(signal: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     return out * scale
 
 
+def _strided_windowed_sum(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """Window sums only at stride-aligned positions: [..., T] ->
+    [..., (T - window)//stride + 1], exact.
+
+    Reshape-sum into stride-sized blocks (one pass over x), then a doubling
+    windowed sum over the block array (window//stride wide) — total traffic
+    ~stride-times less than the dense version.
+    """
+    *lead, t = x.shape
+    nb = t // stride
+    blocks = x[..., : nb * stride].reshape(*lead, nb, stride).sum(axis=-1)
+    return windowed_sum(blocks, window // stride)
+
+
 def detect_preamble(
     signal: jnp.ndarray,
     profile: OfdmProfile,
     n_valid: jnp.ndarray,
     min_pos: jnp.ndarray | int = 0,
     min_energy: float = AUTOCORR_MIN_ENERGY,
+    stride: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse Schmidl-Cox scan, batched over [..., T].
 
@@ -105,19 +123,34 @@ def detect_preamble(
     ``min_pos`` masks positions before it (used for host-side retry after a
     refinement false-positive). Returns (best_idx int32 [...], best_metric
     f32 [...]); best_idx = -1 when best_metric <= 0.5.
+
+    ``stride`` > 1 evaluates the metric only at stride-aligned positions —
+    exact window sums, ~stride-times less HBM traffic. Safe whenever
+    stride <= CP_LEN/4: the preamble's metric plateau is CP_LEN+1 positions
+    wide (every window start for which [d, d+512) lies inside CP+body), so a
+    stride-aligned point always lands on it, and the ±3*CP xcorr refinement
+    recovers the exact start. Must divide fft_size/2.
     """
     half = profile.fft_size // 2
+    assert half % stride == 0, "stride must divide the half-symbol window"
     t = signal.shape[-1]
-    n_pos = t - 2 * half + 1
     s = signal.astype(jnp.float32)
 
     prod = s[..., : t - half] * s[..., half:]
-    p = windowed_sum(prod, half)[..., :n_pos]
-    e = windowed_sum(s * s, half)
+    if stride == 1:
+        n_pos = t - 2 * half + 1
+        p = windowed_sum(prod, half)[..., :n_pos]
+        e = windowed_sum(s * s, half)
+    else:
+        p = _strided_windowed_sum(prod, half, stride)
+        e = _strided_windowed_sum(s * s, half, stride)
+        n_pos = min(p.shape[-1], e.shape[-1] - half // stride)
+        p = p[..., :n_pos]
+    hs = half // stride
     ra = e[..., :n_pos]
-    rb = e[..., half : half + n_pos]
+    rb = e[..., hs : hs + n_pos]
 
-    d = jnp.arange(n_pos)
+    d = jnp.arange(n_pos) * stride
     in_range = (d <= (jnp.asarray(n_valid)[..., None] - 2 * half)) & (
         d >= jnp.asarray(min_pos)[..., None]
     )
@@ -128,13 +161,14 @@ def detect_preamble(
     # First-peak commit: stop at the first position where the metric has
     # dropped below 0.7x the running max (and the running max cleared the
     # detection threshold); take the argmax of the prefix up to that point.
+    k = jnp.arange(n_pos)  # strided-array indices (positions = k * stride)
     runmax = jax.lax.cummax(metric, axis=metric.ndim - 1)
     drop = (runmax > AUTOCORR_THRESHOLD) & (metric < 0.7 * runmax)
     has_drop = drop.any(axis=-1)
     first_drop = jnp.where(has_drop, jnp.argmax(drop, axis=-1), n_pos - 1)
-    prefix = jnp.where(d <= first_drop[..., None], metric, 0.0)
+    prefix = jnp.where(k <= first_drop[..., None], metric, 0.0)
     best = prefix.max(axis=-1)
-    idx = prefix.argmax(axis=-1).astype(jnp.int32)
+    idx = (prefix.argmax(axis=-1) * stride).astype(jnp.int32)
     return jnp.where(best > AUTOCORR_THRESHOLD, idx, -1), best
 
 

@@ -106,6 +106,18 @@ def main() -> None:
         lats.append((time.perf_counter() - t0) / 10)
     p50_detect_ms = float(np.median(lats) * 1e3)
 
+    # ---- 512-stream scale point (amortizes tunnel dispatch, shows the
+    # device's real ceiling) ----
+    sig512 = jax.device_put(jnp.tile(jnp.asarray(signals), (8, 1)))
+    nv512 = jax.device_put(jnp.tile(jnp.asarray(n_valid), (8,)))
+    full512 = jax.jit(lambda s, nv: batch_decode_signals(s, nv, mode, max_syms))
+    jax.block_until_ready(full512(sig512, nv512))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out512 = full512(sig512, nv512)
+    jax.block_until_ready(out512)
+    msps_512 = sig512.size * iters / (time.perf_counter() - t0) / 1e6
+
     realtime_x = msps_full * 1e6 / 44100.0
     print(
         json.dumps(
@@ -116,6 +128,8 @@ def main() -> None:
                 "vs_baseline": round(msps_full / 44.1, 3),
                 "details": {
                     "realtime_streams_per_chip": round(realtime_x, 0),
+                    "batch512_full_pipeline_msps": round(msps_512, 2),
+                    "batch512_realtime_streams": round(msps_512 * 1e6 / 44100.0, 0),
                     "frame_demod_only_msps": round(msps_demod, 2),
                     "frames_per_sec": round(frames_per_sec, 1),
                     "p50_detect_latency_ms": round(p50_detect_ms, 3),
