@@ -17,8 +17,8 @@ from collections.abc import Iterator
 import numpy as np
 
 from audio_modem_tpu import decoder, framing
-from audio_modem_tpu.configs import CHUNK_THRESHOLD, MODES, ModemMode, get_mode
-from audio_modem_tpu.framing import DataFrame, FrameError, LegacyFrame, MetaFrame, ParseResult
+from audio_modem_tpu.configs import CHUNK_THRESHOLD, ModemMode, get_mode
+from audio_modem_tpu.framing import FrameError, ParseResult
 
 
 def _resolve(mode: str | ModemMode) -> ModemMode:

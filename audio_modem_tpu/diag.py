@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_modem_tpu import decoder, framing, phy, sync
-from audio_modem_tpu.configs import MODES, ModemMode, SAMPLE_RATE
+from audio_modem_tpu.configs import ModemMode, SAMPLE_RATE
 from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
 
 

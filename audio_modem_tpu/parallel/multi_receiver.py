@@ -19,7 +19,6 @@ span chips (the per-stage arrays are leading-axis sharded).
 
 from __future__ import annotations
 
-import enum
 from functools import partial
 
 import jax

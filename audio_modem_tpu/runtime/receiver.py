@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_modem_tpu import decoder, framing, sync
-from audio_modem_tpu.configs import FRAME_DATA, FRAME_META, ModemMode
+from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.ring import RingBuffer
 from audio_modem_tpu.utils.metrics import StreamStats
