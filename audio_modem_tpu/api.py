@@ -25,13 +25,16 @@ def _resolve(mode: str | ModemMode) -> ModemMode:
     return mode if isinstance(mode, ModemMode) else get_mode(mode)
 
 
-def encode_legacy(data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file") -> np.ndarray:
-    """Single-frame TX signal (modem.js:498-555)."""
-    return framing.build_transmit_signal(data, _resolve(mode), file_name)
+def encode_legacy(
+    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file", fec: bool = False
+) -> np.ndarray:
+    """Single-frame TX signal (modem.js:498-555). ``fec=True`` wraps the
+    payload in RS(255,223) (extension beyond the reference)."""
+    return framing.build_transmit_signal(data, _resolve(mode), file_name, fec=fec)
 
 
 def encode_chunked(
-    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file"
+    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file", fec: bool = False
 ) -> Iterator[np.ndarray]:
     """Chunked TX: yields metadata frame, then one frame per chunk
     (playChunkedFrames, app.js:201-303). O(chunk) memory like the reference's
@@ -39,18 +42,20 @@ def encode_chunked(
     m = _resolve(mode)
     chunk_size = m.chunk_size
     total_chunks = -(-len(data) // chunk_size)
-    yield framing.build_metadata_frame(total_chunks, len(data), chunk_size, file_name, m)
+    yield framing.build_metadata_frame(total_chunks, len(data), chunk_size, file_name, m, fec=fec)
     for seq in range(total_chunks):
         chunk = data[seq * chunk_size : (seq + 1) * chunk_size]
-        yield framing.build_data_chunk_frame(chunk, seq, m)
+        yield framing.build_data_chunk_frame(chunk, seq, m, fec=fec)
 
 
-def encode(data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file") -> list[np.ndarray]:
+def encode(
+    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file", fec: bool = False
+) -> list[np.ndarray]:
     """Size-routed encode (startSend, app.js:124-135): list of frame signals
     (length 1 for the legacy path)."""
     if len(data) <= CHUNK_THRESHOLD:
-        return [encode_legacy(data, mode, file_name)]
-    return list(encode_chunked(data, mode, file_name))
+        return [encode_legacy(data, mode, file_name, fec=fec)]
+    return list(encode_chunked(data, mode, file_name, fec=fec))
 
 
 def decode(signal: np.ndarray, mode: str | ModemMode = "QPSK") -> tuple[ParseResult, decoder.DecodeInfo | None]:
@@ -72,13 +77,15 @@ class ChunkedDecodeResult:
         return not self.missing_chunks
 
 
-def decode_chunked(signal: np.ndarray, mode: str | ModemMode = "QPSK") -> ChunkedDecodeResult | FrameError:
+def decode_chunked(
+    signal: np.ndarray, mode: str | ModemMode = "QPSK", fec: bool = False
+) -> ChunkedDecodeResult | FrameError:
     """Decode a full chunked transmission from one long recording by scanning
     frame-by-frame (offline analog of the streaming receiver)."""
     from audio_modem_tpu.runtime.receiver import StreamingReceiver
 
     m = _resolve(mode)
-    rx = StreamingReceiver(m)
+    rx = StreamingReceiver(m, fec=fec)
     signal = np.asarray(signal, dtype=np.float32)
     block = 4096
     for off in range(0, len(signal), block):

@@ -30,6 +30,9 @@ SEED_CE = 44
 # Frame type magic bytes (modem.js:661-662)
 FRAME_META = 0xFE
 FRAME_DATA = 0xFF
+# EXTENSION: Reed-Solomon-wrapped payload (spec-promised FEC,
+# docs/protocol_spec.md:56, never implemented by the reference)
+FRAME_FEC = 0xFD
 
 # Legacy vs chunked routing threshold (app.js:121)
 CHUNK_THRESHOLD = 32 * 1024

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio_modem_tpu.configs import FRAME_DATA, FRAME_META, ModemMode
+from audio_modem_tpu.configs import FRAME_DATA, FRAME_FEC, FRAME_META, ModemMode
 from audio_modem_tpu import phy
 from audio_modem_tpu.ops.bits import bytes_to_bits, repeat_bits
 from audio_modem_tpu.ops.crc32 import crc32
@@ -61,6 +61,7 @@ class LegacyFrame:
     expected_crc: int
     actual_crc: int
     frame_type: str = "legacy"
+    fec_corrected: int = 0
 
 
 @dataclasses.dataclass
@@ -71,6 +72,7 @@ class MetaFrame:
     file_name: str
     crc_valid: bool
     frame_type: int = FRAME_META
+    fec_corrected: int = 0
 
 
 @dataclasses.dataclass
@@ -79,6 +81,7 @@ class DataFrame:
     data: bytes
     crc_valid: bool
     frame_type: int = FRAME_DATA
+    fec_corrected: int = 0
 
 
 @dataclasses.dataclass
@@ -140,14 +143,61 @@ def parse_legacy(by: bytes) -> LegacyFrame | FrameError:
 
 
 def parse_payload_bytes(by: bytes, min_len: int = 10) -> ParseResult:
-    """Dispatch on the first byte (modem.js:609-621, 795-802)."""
+    """Dispatch on the first byte (modem.js:609-621, 795-802; 0xFD is the
+    FEC extension wrapper)."""
     if len(by) < min_len:
         return FrameError("Decoded data too short")
+    if by[0] == FRAME_FEC:
+        return parse_fec(by, min_len)
     if by[0] == FRAME_META:
         return parse_metadata(by)
     if by[0] == FRAME_DATA:
         return parse_data_chunk(by)
     return parse_legacy(by)
+
+
+# ---------------- FEC extension (RS(255,223) wrapper) ----------------
+#
+# Wire: [0xFD][codedLen:4][RS-coded inner payload][junk...]. The inner
+# payload is a normal legacy/meta/data payload, recursively parsed after
+# correction. The reference spec promises this FEC
+# (docs/protocol_spec.md:56) but its code only detects errors via CRC.
+
+
+def fec_coded_len(payload_bytes: int) -> int:
+    from audio_modem_tpu.ops.rs import K, NSYM
+
+    return payload_bytes + NSYM * (-(-payload_bytes // K))
+
+
+def fec_wire_len(payload_bytes: int) -> int:
+    """Total on-air payload bytes for a FEC-wrapped payload."""
+    return 5 + fec_coded_len(payload_bytes)
+
+
+def wrap_fec(payload: bytes) -> bytes:
+    from audio_modem_tpu.ops.rs import rs_encode
+
+    coded = rs_encode(payload)
+    return bytes([FRAME_FEC]) + _be32(len(coded)) + coded
+
+
+def parse_fec(by: bytes, min_len: int = 10) -> ParseResult:
+    from audio_modem_tpu.ops.rs import rs_decode
+
+    if len(by) < 5:
+        return FrameError("FEC frame too short")
+    clen = int.from_bytes(by[1:5], "big")
+    if 5 + clen > len(by):
+        return FrameError("FEC frame truncated")
+    try:
+        inner, corrected = rs_decode(by[5 : 5 + clen])
+    except ValueError as e:
+        return FrameError(f"FEC decode failed: {e}")
+    result = parse_payload_bytes(inner, min_len)
+    if not isinstance(result, FrameError):
+        result.fec_corrected = corrected
+    return result
 
 
 # ---------------- bits preparation (host) ----------------
@@ -218,22 +268,29 @@ def synthesize_frame(payload: bytes, mode: ModemMode, silence_pre: int, silence_
     return np.asarray(_synth_frame(jnp.asarray(bits), mode, silence_pre, silence_post))
 
 
-def build_transmit_signal(file_data: bytes, mode: ModemMode, file_name: str) -> np.ndarray:
-    """Legacy single-frame TX (modem.js:498-555)."""
+def build_transmit_signal(file_data: bytes, mode: ModemMode, file_name: str, fec: bool = False) -> np.ndarray:
+    """Legacy single-frame TX (modem.js:498-555); fec wraps the payload in
+    RS(255,223) (extension)."""
     p = mode.profile
     payload = build_legacy_payload(file_data, file_name)
+    if fec:
+        payload = wrap_fec(payload)
     return synthesize_frame(payload, mode, p.silence_pre_legacy(), p.silence_post_legacy())
 
 
-def build_metadata_frame(total_chunks: int, total_file_size: int, chunk_size: int, file_name: str, mode: ModemMode) -> np.ndarray:
+def build_metadata_frame(total_chunks: int, total_file_size: int, chunk_size: int, file_name: str, mode: ModemMode, fec: bool = False) -> np.ndarray:
     """modem.js:758-761."""
     p = mode.profile
     payload = build_metadata_payload(total_chunks, total_file_size, chunk_size, file_name)
+    if fec:
+        payload = wrap_fec(payload)
     return synthesize_frame(payload, mode, p.silence_pre_chunk(True), p.silence_post_chunk())
 
 
-def build_data_chunk_frame(chunk: bytes, seq_num: int, mode: ModemMode) -> np.ndarray:
+def build_data_chunk_frame(chunk: bytes, seq_num: int, mode: ModemMode, fec: bool = False) -> np.ndarray:
     """modem.js:763-766."""
     p = mode.profile
     payload = build_data_chunk_payload(chunk, seq_num)
+    if fec:
+        payload = wrap_fec(payload)
     return synthesize_frame(payload, mode, p.silence_pre_chunk(False), p.silence_post_chunk())

@@ -74,11 +74,15 @@ class BatchReceiver:
         persist_dir: str | None = None,
         resume: bool = False,
         dc_alpha: float = 0.999,
+        fec: bool = False,
     ):
         self.mode = mode
+        self.fec = fec
         self.n = n_streams
         p = mode.profile
         max_payload = max(mode.chunk_size, 4096) + 16
+        if fec:
+            max_payload = framing.fec_wire_len(max_payload)
         max_frame = framing.estimate_frame_samples(max_payload, mode)
         cap = max_frame * 3 + 8192
         self.streams = [
@@ -197,6 +201,8 @@ class BatchReceiver:
             max_payload = (
                 (s.assembler.chunk_size or 4096) + 11 if s.meta_received else PRE_META_MAX_PAYLOAD
             )
+            if self.fec:
+                max_payload = framing.fec_wire_len(max_payload)
             s.expected_frame_end = s.preamble_pos + framing.estimate_frame_samples(
                 max_payload, self.mode
             )
@@ -267,6 +273,8 @@ class BatchReceiver:
                 if result.crc_valid:
                     payload_len = 11 + len(result.data)
             if payload_len is not None:
+                if self.fec:
+                    payload_len = framing.fec_wire_len(payload_len)
                 actual = framing.estimate_frame_samples(payload_len, self.mode)
                 resume_pos = min(s.preamble_pos + actual, s.expected_frame_end)
         self._reset(s, resume_pos)

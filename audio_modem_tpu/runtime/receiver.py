@@ -65,10 +65,14 @@ class StreamingReceiver:
         resume: bool = False,
         on_file: Callable[[str, bytes], None] | None = None,
         dc_alpha: float = 0.999,
+        fec: bool = False,
     ):
         self.mode = mode
+        self.fec = fec
         p = mode.profile
         max_payload = max(mode.chunk_size, 4096) + 16
+        if fec:
+            max_payload = framing.fec_wire_len(max_payload)
         max_frame = framing.estimate_frame_samples(max_payload, mode)
         self.ring = RingBuffer(max_frame * 3 + 8192)
         self.assembler = ChunkAssembler(persist_path, resume)
@@ -181,6 +185,8 @@ class StreamingReceiver:
         max_payload = (
             (self.assembler.chunk_size or 4096) + 11 if self.meta_received else PRE_META_MAX_PAYLOAD
         )
+        if self.fec:
+            max_payload = framing.fec_wire_len(max_payload)
         frame_samples = framing.estimate_frame_samples(max_payload, self.mode)
         self.expected_frame_end = self.preamble_pos + frame_samples
         self.state = RecvState.COLLECTING_FRAME
@@ -240,6 +246,8 @@ class StreamingReceiver:
             elif isinstance(result, framing.DataFrame) and result.crc_valid:
                 payload_len = 11 + len(result.data)
             if payload_len is not None:
+                if self.fec:
+                    payload_len = framing.fec_wire_len(payload_len)
                 actual = framing.estimate_frame_samples(payload_len, self.mode)
                 resume_pos = min(
                     self.preamble_pos + actual,
