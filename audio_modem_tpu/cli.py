@@ -22,7 +22,8 @@ import numpy as np
 
 
 def _add_mode(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--mode", default="QPSK", help="QPSK | 16-QAM | BPSK-ACOUSTIC | BPSK-REPEAT | BPSK-NARROW")
+    p.add_argument("--mode", default="QPSK", help="QPSK | 16-QAM | 64-QAM | BPSK-ACOUSTIC | BPSK-REPEAT | BPSK-NARROW")
+    p.add_argument("--fec", action="store_true", help="RS(255,223) forward error correction (extension)")
 
 
 def cmd_encode(args) -> int:
@@ -30,7 +31,7 @@ def cmd_encode(args) -> int:
     from audio_modem_tpu.utils.wav import write_wav
 
     data = Path(args.input).read_bytes()
-    frames = api.encode(data, args.mode, Path(args.input).name)
+    frames = api.encode(data, args.mode, Path(args.input).name, fec=args.fec)
     signal = np.concatenate(frames)
     write_wav(args.output, signal)
     print(f"encoded {len(data)} bytes -> {len(frames)} frame(s), "
@@ -66,7 +67,7 @@ def cmd_receive(args) -> int:
     from audio_modem_tpu.utils.wav import read_wav
 
     signal, _ = read_wav(args.input)
-    res = api.decode_chunked(signal, args.mode)
+    res = api.decode_chunked(signal, args.mode, fec=args.fec)
     if isinstance(res, framing.FrameError):
         print(f"error: {res.error}", file=sys.stderr)
         return 1
