@@ -97,29 +97,61 @@ def map_bits(name: str, bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mapped[..., 0], mapped[..., 1]
 
 
+def _inverse_gray(g: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Invert b -> b ^ (b >> 1) for nbits-wide values."""
+    b = g
+    shift = 1
+    while shift < nbits:
+        b = b ^ (b >> shift)
+        shift <<= 1
+    return b
+
+
 def demap(name: str, re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     """Nearest-point hard demap -> MSB-first bits [..., n_sym*bps].
 
-    Vectorized constellationDemap (modem.js:140-150): the per-point score
-    score_i = |p_i|^2/2 - Re(y conj(p_i)) (argmin == nearest-Euclidean,
-    strict `<` keeps the reference's first-min tie order) is computed as an
-    UNROLLED chain of fused elementwise ops over the [..., n_sym] maps —
-    every tensor keeps the input's TPU-friendly layout. A [..., n_points]
-    einsum + table-gather formulation measures ~100x slower on v5e (tiny
-    last dims and gathers lower poorly); bits come from arithmetic shifts of
-    the winning index, not a table lookup.
+    Exact nearest-Euclidean decisions (constellationDemap, modem.js:140-150)
+    in closed form — no loop over constellation points at all:
+
+      BPSK   bit = (re < 0)
+      QPSK   b0 = (im < 0), b1 = (re < 0) XOR (im < 0)  (quadrant Gray map)
+      square QAM  the reference's construction places level (2*g - top) *
+      scale on each axis with g = gray(axis_bits), so slicing each axis to
+      its nearest level index gives g directly; inverse-Gray recovers the
+      bits. Axes are independent under Euclidean distance, so per-axis
+      slicing IS the nearest-point rule.
+
+    Decision-boundary ties (measure zero; the reference resolves them by
+    first-minimum scan order) may differ. Everything is fused elementwise
+    math in the input's layout: no [..., n_points] tensors, no gathers — an
+    einsum+gather formulation measured ~100x slower on v5e and a fully
+    unrolled 64-point compare chain exploded CPU compile times.
     """
     c = CONSTELLATIONS[name]
-    pts, half_pow, _ = _tables(name)
     re = re.astype(jnp.float32)
     im = im.astype(jnp.float32)
-    best_score = half_pow[0] - (re * pts[0, 0] + im * pts[0, 1])
-    best_idx = jnp.zeros(re.shape, jnp.int32)
-    for i in range(1, c.n_points):
-        score = half_pow[i] - (re * pts[i, 0] + im * pts[i, 1])
-        take = score < best_score
-        best_score = jnp.where(take, score, best_score)
-        best_idx = jnp.where(take, i, best_idx)
+    if name == "BPSK":
+        bits = (re < 0).astype(jnp.int8)
+        return bits
+    if name == "QPSK":
+        b0 = (im < 0).astype(jnp.int8)
+        b1 = b0 ^ (re < 0).astype(jnp.int8)
+        bits = jnp.stack([b0, b1], axis=-1)
+        return bits.reshape(*bits.shape[:-2], bits.shape[-2] * 2)
+    # square QAM (16/64): per-axis Gray slicing
+    bpa = c.bps // 2
+    m = 1 << bpa
+    top = m - 1
+    pts = c.points_np()
+    scale = float(pts[:, 0].max() / top)  # level spacing / 2
+
+    def axis_bits(x):
+        g = jnp.clip(jnp.round((x / scale + top) * 0.5), 0, top).astype(jnp.int32)
+        return _inverse_gray(g, bpa)
+
+    col = axis_bits(re)  # low bits of the index
+    row = axis_bits(im)  # high bits
+    idx = (row << bpa) | col
     shifts = np.arange(c.bps - 1, -1, -1)
-    bits = ((best_idx[..., None] >> shifts) & 1).astype(jnp.int8)
+    bits = ((idx[..., None] >> shifts) & 1).astype(jnp.int8)
     return bits.reshape(*bits.shape[:-2], bits.shape[-2] * c.bps)

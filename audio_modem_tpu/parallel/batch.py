@@ -76,7 +76,7 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
     return jax.vmap(lambda s, nv: _single_signal_decode(s, nv, mode, max_syms))(ext, n_valid)
 
 
-@partial(jax.jit, static_argnames=("mode", "n_sym", "snr_db"))
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
 def batch_loopback_step(bits: jnp.ndarray, key: jax.Array, mode: ModemMode, n_sym: int, snr_db: float = 20.0):
     """Full TX -> channel -> RX loopback over a sharded stream batch,
     reduced to a scalar BER — the framework's 'training step' analog: the

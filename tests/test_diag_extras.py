@@ -100,3 +100,21 @@ class TestQam64Extension:
         rx = channel.apply_channel_np(sig, channel.ChannelSpec(snr_db=35.0), seed=7)
         result, _ = api.decode(rx, "64-QAM")
         assert isinstance(result, framing.LegacyFrame) and result.crc_valid
+
+
+class TestPlots:
+    def test_plot_outputs(self, tmp_path):
+        from audio_modem_tpu.utils import plots
+        from audio_modem_tpu.configs import OFDM_PROFILES
+
+        p = OFDM_PROFILES["standard"]
+        rng = np.random.default_rng(0)
+        spec_db = rng.uniform(-80, -20, 1024)
+        freqs = np.linspace(0, 22050, 1024)
+        f1 = plots.plot_spectrum(spec_db, freqs, str(tmp_path / "s.png"), p)
+        f2 = plots.plot_channel_response(rng.uniform(0, 1, p.num_active_subs), p, str(tmp_path / "c.png"))
+        f3 = plots.plot_waveform(rng.standard_normal(20000).astype(np.float32), str(tmp_path / "w.png"))
+        f4 = plots.plot_ber_curve({0.0: 0.1, 10.0: 0.01, 20.0: 0.0}, str(tmp_path / "b.png"))
+        import os
+        for f in (f1, f2, f3, f4):
+            assert os.path.getsize(f) > 1000
