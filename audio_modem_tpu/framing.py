@@ -176,9 +176,13 @@ def fec_wire_len(payload_bytes: int) -> int:
 
 
 def wrap_fec(payload: bytes) -> bytes:
-    from audio_modem_tpu.ops.rs import rs_encode
+    from audio_modem_tpu.ops.rs import codeword_lengths, interleave, rs_encode
 
     coded = rs_encode(payload)
+    n_rows = len(codeword_lengths(len(coded)))
+    # block-interleave across codewords: a burst of up to 16*n_rows bytes
+    # stays correctable
+    coded = interleave(coded, n_rows)
     return bytes([FRAME_FEC]) + _be32(len(coded)) + coded
 
 
@@ -191,7 +195,11 @@ def parse_fec(by: bytes, min_len: int = 10) -> ParseResult:
     if 5 + clen > len(by):
         return FrameError("FEC frame truncated")
     try:
-        inner, corrected = rs_decode(by[5 : 5 + clen])
+        from audio_modem_tpu.ops.rs import codeword_lengths, deinterleave
+
+        row_lens = codeword_lengths(clen)
+        coded = deinterleave(by[5 : 5 + clen], len(row_lens), row_lens)
+        inner, corrected = rs_decode(coded)
     except ValueError as e:
         return FrameError(f"FEC decode failed: {e}")
     result = parse_payload_bytes(inner, min_len)

@@ -190,6 +190,54 @@ def decode_block(cw: np.ndarray, n: int | None = None) -> tuple[np.ndarray, int]
     return cw[: n - NSYM].astype(np.uint8), len(positions)
 
 
+def interleave(coded: bytes, n_rows: int) -> bytes:
+    """Block interleaver: write ``n_rows`` codeword rows, read column-wise.
+
+    Spreads a burst of B consecutive byte errors across rows so each
+    codeword sees only ~B/n_rows of them — with RS(255,223) a burst of up
+    to 16*n_rows bytes stays correctable. Rows may be ragged (last codeword
+    shortened); column-major traversal skips missing cells deterministically.
+    """
+    if n_rows <= 1:
+        return coded
+    rows = []
+    off = 0
+    while off < len(coded):
+        rows.append(coded[off : off + N])
+        off += N
+    out = bytearray()
+    max_len = max(len(r) for r in rows)
+    for col in range(max_len):
+        for r in rows:
+            if col < len(r):
+                out.append(r[col])
+    return bytes(out)
+
+
+def deinterleave(data: bytes, n_rows: int, row_lens: list[int]) -> bytes:
+    """Inverse of :func:`interleave` given the original row lengths."""
+    if n_rows <= 1:
+        return data
+    rows = [bytearray(l) for l in row_lens]
+    it = iter(data)
+    max_len = max(row_lens)
+    for col in range(max_len):
+        for r in rows:
+            if col < len(r):
+                r[col] = next(it)
+    return b"".join(bytes(r) for r in rows)
+
+
+def codeword_lengths(coded_len: int) -> list[int]:
+    """Row lengths of concatenated codewords for a coded byte count."""
+    lens = []
+    off = 0
+    while off < coded_len:
+        lens.append(min(N, coded_len - off))
+        off += lens[-1]
+    return lens
+
+
 def rs_encode(data: bytes) -> bytes:
     """Encode a byte string into concatenated RS(255,223) codewords.
 

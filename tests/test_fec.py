@@ -103,3 +103,27 @@ class TestFecEndToEnd:
         assert not isinstance(res, framing.FrameError)
         assert res.complete, res.missing_chunks
         assert res.data == data
+
+
+class TestInterleaving:
+    def test_interleave_roundtrip(self):
+        rng = np.random.default_rng(17)
+        coded = rs.rs_encode(rng.bytes(700))  # 4 ragged codewords
+        lens = rs.codeword_lengths(len(coded))
+        inter = rs.interleave(coded, len(lens))
+        assert len(inter) == len(coded)
+        assert rs.deinterleave(inter, len(lens), lens) == coded
+
+    def test_burst_beyond_single_codeword_capacity(self):
+        """A 40-byte contiguous burst (>16, the per-codeword limit) is
+        corrected thanks to interleaving across 3 codewords."""
+        data = np.random.default_rng(19).bytes(600)  # 3 codewords
+        payload = framing.build_legacy_payload(data, "b.bin")
+        wrapped = bytearray(framing.wrap_fec(payload))
+        start = 100
+        for p in range(start, start + 40):
+            wrapped[p] ^= 0x5A
+        res = framing.parse_payload_bytes(bytes(wrapped))
+        assert isinstance(res, framing.LegacyFrame), getattr(res, "error", res)
+        assert res.crc_valid and res.data == data
+        assert res.fec_corrected == 40

@@ -231,3 +231,30 @@ class TestMediumScaleChunked:
         assert res.complete, res.missing_chunks
         assert res.data == data
         assert res.total_chunks == 128
+
+
+class TestStreamingStress:
+    def test_many_frames_random_gaps_and_bursts(self):
+        """Robustness: 10 chunks with random inter-frame noise gaps and one
+        frame destroyed by a burst; everything else must arrive."""
+        mode = MODES["BPSK-ACOUSTIC"]
+        rng = np.random.default_rng(101)
+        data = rng.bytes(mode.chunk_size * 9 + 37)  # 10 chunks
+        frames = list(api.encode_chunked(data, mode, "stress.bin"))
+        parts = []
+        for f in frames:
+            parts.append((rng.standard_normal(int(rng.integers(0, 5000))) * 0.003).astype(np.float32))
+            parts.append(f)
+        signal = np.concatenate(parts)
+        # destroy data frame for chunk 4 (frames[0] is metadata)
+        start = sum(len(x) for x in parts[: 2 * 5 + 1])
+        dead = len(frames[5])
+        signal[start : start + dead] = (rng.standard_normal(dead) * 0.05).astype(np.float32)
+        rx = StreamingReceiver(mode)
+        _feed(rx, signal)
+        missing = rx.assembler.missing_chunks()
+        assert missing == [4], (missing, rx.stats)
+        out = rx.assembler.assemble()
+        cs = mode.chunk_size
+        assert out[: 4 * cs] == data[: 4 * cs]
+        assert out[5 * cs :] == data[5 * cs :]
