@@ -148,7 +148,14 @@ def parse_payload_bytes(by: bytes, min_len: int = 10) -> ParseResult:
     if len(by) < min_len:
         return FrameError("Decoded data too short")
     if by[0] == FRAME_FEC:
-        return parse_fec(by, min_len)
+        res = parse_fec(by, min_len)
+        if isinstance(res, FrameError):
+            # 0xFD is our extension magic; a reference legacy frame whose
+            # (truncated) name is exactly 253 bytes starts with the same
+            # byte — fall back to legacy parsing to stay reference-compatible
+            legacy = parse_legacy(by)
+            return legacy if not isinstance(legacy, FrameError) else res
+        return res
     if by[0] == FRAME_META:
         return parse_metadata(by)
     if by[0] == FRAME_DATA:
