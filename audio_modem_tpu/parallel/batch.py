@@ -113,3 +113,32 @@ def pad_signals(signals: list[np.ndarray], pad_len: int | None = None) -> tuple[
     for i, s in enumerate(signals):
         out[i, : len(s)] = s[:t]
     return out, n_valid
+
+
+def shardmap_loopback_ber(bits: jnp.ndarray, key: jax.Array, mode: ModemMode, n_sym: int, snr_db: float, mesh) -> jnp.ndarray:
+    """Explicit-collective variant of the loopback step: shard_map over the
+    stream axis with a hand-placed psum-mean across chips.
+
+    batch_loopback_step relies on GSPMD to partition the same computation;
+    this version states the communication explicitly — each chip runs its
+    stream shard fully locally (TX -> AWGN -> RX -> local BER) and the ONLY
+    cross-chip traffic is the final scalar jax.lax.pmean over ICI, which is
+    the true communication profile of this domain (independent streams,
+    metric reduction at the end).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from audio_modem_tpu.parallel.mesh import STREAM_AXIS
+
+    def local_step(bits_shard, key):
+        ber, _ = batch_loopback_step(bits_shard, key, mode, n_sym, snr_db)
+        return jax.lax.pmean(ber, STREAM_AXIS)
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(STREAM_AXIS), P()),
+        out_specs=P(),
+    )
+    return fn(bits, key)

@@ -88,3 +88,19 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+def test_shardmap_explicit_collective_ber():
+    """shard_map + pmean over the 8-device mesh agrees with the GSPMD path."""
+    from audio_modem_tpu.parallel.batch import shardmap_loopback_ber
+
+    mode = MODES["QPSK"]
+    mesh = make_mesh()
+    rng = np.random.default_rng(9)
+    n_sym = 2
+    bits = jnp.asarray(rng.integers(0, 2, (16, n_sym * mode.bits_per_symbol), dtype=np.int8))
+    key = jax.random.PRNGKey(3)
+    ber = shardmap_loopback_ber(shard_batch(bits, mesh), key, mode, n_sym, 30.0, mesh)
+    assert float(ber) == 0.0
+    noisy = shardmap_loopback_ber(shard_batch(bits, mesh), key, mode, n_sym, -5.0, mesh)
+    assert 0.05 < float(noisy) < 0.6
