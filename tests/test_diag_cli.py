@@ -101,3 +101,27 @@ class TestCli:
         sig, _ = read_wav(str(ts))
         report = diag.analyze_loopback(sig, MODES["BPSK-ACOUSTIC"])
         assert report.quality == "excellent"
+
+
+class TestCliDiagnostics:
+    def test_diagnose_command(self, tmp_path, capsys):
+        import json as _json
+
+        from audio_modem_tpu.cli import main
+
+        ts = tmp_path / "t.wav"
+        assert main(["testsignal", str(ts), "--mode", "QPSK"]) == 0
+        capsys.readouterr()
+        assert main(["diagnose", str(ts), "--mode", "QPSK"]) == 0
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["detected"] and report["quality"] == "excellent"
+        assert report["recommended_mode"] == "16-QAM"
+
+    def test_sweep_command(self, tmp_path):
+        from audio_modem_tpu.cli import main
+        from audio_modem_tpu.utils.wav import read_wav
+
+        out = tmp_path / "sweep.wav"
+        assert main(["sweep", str(out)]) == 0
+        sig, rate = read_wav(str(out))
+        assert rate == 44100 and len(sig) == 2 * 44100

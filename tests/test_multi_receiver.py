@@ -69,3 +69,26 @@ class TestBatchReceiver:
         r = batch.results()
         assert single.assembler.assemble() == data
         assert r[0]["data"] == data and r[1]["data"] == data
+
+
+class TestBatchReceiverPersistence:
+    def test_persist_dir_and_resume(self, tmp_path):
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(73)
+        data = rng.bytes(mode.chunk_size * 2 + 9)  # 3 chunks
+        frames = list(api.encode_chunked(data, mode, "pr.bin"))
+        full = np.concatenate(frames)
+        # First session: only metadata + first data frame arrive
+        cut = len(frames[0]) + len(frames[1])
+        rx1 = BatchReceiver(mode, 1, persist_dir=str(tmp_path))
+        _feed_batch(rx1, [full[:cut]])
+        assert rx1.streams[0].assembler.received_count == 1
+        rx1.cleanup()
+        # Second session resumes: replay meta + remaining frames
+        rx2 = BatchReceiver(mode, 1, persist_dir=str(tmp_path), resume=True)
+        replay = np.concatenate([frames[0]] + frames[2:])
+        _feed_batch(rx2, [replay])
+        r = rx2.results()[0]
+        assert r["complete"], r["missing"]
+        assert r["data"] == data
+        rx2.cleanup()
