@@ -57,6 +57,7 @@ class LoopbackReport:
     channel_magnitude: np.ndarray
     snr_estimate_db: float
     quality: str  # excellent | good | poor
+    evm: float | None = None  # RMS error-vector magnitude (extension metric)
 
     @property
     def recommended_mode(self) -> str:
@@ -112,10 +113,17 @@ def analyze_loopback(recorded: np.ndarray, mode: ModemMode, test_data: bytes = T
     # BER against the known packet layout (modem.js:1046-1069)
     data_start = ce_start + sym
     ber = 1.0
+    evm = None
     if data_start < n_valid:
         n_sym = (n_valid - data_start) // sym
         if n_sym > 0:
             data = pre_np[data_start : data_start + n_sym * sym].reshape(n_sym, sym)
+            # EVM over the known payload's symbols only (trailing symbols are
+            # silence/junk the length fields cut off)
+            payload_bytes = 1 + len(TEST_FILENAME) + 4 + len(test_data) + 4
+            n_used = min(n_sym, framing.num_symbols_for_payload(payload_bytes, mode))
+            if n_used > 0:
+                evm = float(phy.error_vector_magnitude(jnp.asarray(data[:n_used]), ch_re, ch_im, mode))
             bits = np.asarray(phy.demodulate(jnp.asarray(data), ch_re, ch_im, mode))
             if mode.repetition > 1:
                 bits = majority_vote(bits, mode.repetition)
@@ -135,7 +143,7 @@ def analyze_loopback(recorded: np.ndarray, mode: ModemMode, test_data: bytes = T
         quality = "good"
     else:
         quality = "poor"
-    return LoopbackReport(True, correlation, ber, ch_mag, float(snr_db), quality)
+    return LoopbackReport(True, correlation, ber, ch_mag, float(snr_db), quality, evm)
 
 
 def ber_vs_snr(

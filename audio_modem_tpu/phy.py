@@ -153,3 +153,36 @@ def demodulate(
 def channel_magnitude(ch_re: jnp.ndarray, ch_im: jnp.ndarray) -> jnp.ndarray:
     """|H| per active bin (diagnostics; modem.js:1025-1029)."""
     return jnp.sqrt(ch_re * ch_re + ch_im * ch_im)
+
+
+def error_vector_magnitude(
+    symbols: jnp.ndarray,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+    mode: ModemMode,
+) -> jnp.ndarray:
+    """RMS error-vector magnitude of the equalized data constellation,
+    normalized to unit reference power (SURVEY §5 metrics gap-fill; the
+    reference never measures EVM). Same pipeline as demodulate() up to the
+    decision, then distance from the decided (re-mapped) points."""
+    bits = demodulate(symbols, ch_re, ch_im, mode)
+    dec_re, dec_im = con.map_bits(mode.constellation, bits.reshape(*symbols.shape[:-1], -1))
+
+    p = mode.profile
+    body = strip_cp(symbols, p)
+    data_bins = tuple(int(b) for b in p.data_bins)
+    pilot_bins = tuple(int(b) for b in p.pilot_bins)
+    d_re, d_im = time_to_spec_bins(body, p, data_bins)
+    p_re, p_im = time_to_spec_bins(body, p, pilot_bins)
+    tabs = _bin_tables(p)
+    dpos, ppos = tabs["data_pos"], tabs["pilot_pos"]
+    dr, di = equalize(d_re, d_im, ch_re[..., dpos][..., None, :], ch_im[..., dpos][..., None, :])
+    pr, pi = equalize(p_re, p_im, ch_re[..., ppos][..., None, :], ch_im[..., ppos][..., None, :])
+    usable = jnp.abs(pr) > 1e-6
+    ratio = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
+    cnt = usable.sum(axis=-1)
+    phi = jnp.where(cnt > 0, ratio.sum(axis=-1) / jnp.maximum(cnt, 1), 0.0)[..., None]
+    cr = dr + di * phi
+    ci = di - dr * phi
+    err = (cr - dec_re) ** 2 + (ci - dec_im) ** 2
+    return jnp.sqrt(err.mean(axis=(-2, -1)))

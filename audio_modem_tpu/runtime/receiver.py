@@ -28,6 +28,7 @@ from audio_modem_tpu import decoder, framing, sync
 from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.ring import RingBuffer
+from audio_modem_tpu.utils import log
 from audio_modem_tpu.utils.metrics import StreamStats
 
 # Streaming scan uses a lower energy gate than the offline path (app.js:796)
@@ -217,6 +218,7 @@ class StreamingReceiver:
         resume_pos = None
         if isinstance(result, framing.FrameError):
             self.stats.frame_errors += 1
+            log.frame_error(result.error, pos=self.preamble_pos)
             # Unknown frame length: skip the header and rescan the region
             # (the xcorr refinement rejects data-region false peaks).
             resume_pos = self.preamble_pos + 4 * self.mode.profile.symbol_len
@@ -227,14 +229,19 @@ class StreamingReceiver:
                     self.assembler.handle_metadata(result)
                     self.meta_received = True
                     self.stats.total_chunks = result.total_chunks
+                    log.frame_decoded("meta", file=result.file_name, chunks=result.total_chunks)
                 else:
                     self.stats.frame_errors += 1
+                    log.frame_error("metadata CRC", pos=self.preamble_pos)
             elif isinstance(result, framing.DataFrame):
                 self.assembler.handle_data_chunk(result)
                 self.stats.crc_errors = self.assembler.crc_errors
                 self.stats.chunks_received = self.assembler.received_count
-                if self.assembler.is_complete and self.on_file is not None:
-                    self.on_file(self.assembler.file_name, self.assembler.assemble())
+                log.chunk_received(result.seq_num, self.assembler.total_chunks, crc_ok=result.crc_valid)
+                if self.assembler.is_complete:
+                    log.transfer_complete(self.assembler.file_name, self.assembler.total_file_size)
+                    if self.on_file is not None:
+                        self.on_file(self.assembler.file_name, self.assembler.assemble())
             # Resume at the frame's ACTUAL length, computed from the decoded
             # payload, instead of the reference's worst-case estimate
             # (app.js:888-896 + 974-981) which overshoots short frames and

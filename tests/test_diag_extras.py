@@ -118,3 +118,16 @@ class TestPlots:
         import os
         for f in (f1, f2, f3, f4):
             assert os.path.getsize(f) > 1000
+
+
+class TestEvm:
+    def test_evm_clean_vs_noisy(self):
+        from audio_modem_tpu import channel as ch
+
+        mode = MODES["QPSK"]
+        sig, _ = diag.generate_test_signal(mode)
+        clean = diag.analyze_loopback(sig, mode)
+        assert clean.evm is not None and clean.evm < 0.02
+        noisy_sig = ch.apply_channel_np(sig, ch.ChannelSpec(snr_db=12.0), seed=21)
+        noisy = diag.analyze_loopback(noisy_sig, mode)
+        assert noisy.evm > clean.evm * 3
