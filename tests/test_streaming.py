@@ -258,3 +258,22 @@ class TestStreamingStress:
         cs = mode.chunk_size
         assert out[: 4 * cs] == data[: 4 * cs]
         assert out[5 * cs :] == data[5 * cs :]
+
+
+class TestSuccessiveTransfers:
+    def test_two_files_one_receiver(self):
+        """A second metadata frame starts a fresh transfer (app.js:610-626);
+        completed files are delivered via on_file before the reset."""
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(111)
+        file_a = rng.bytes(mode.chunk_size + 5)
+        file_b = rng.bytes(2 * mode.chunk_size + 11)
+        sig = np.concatenate(
+            list(api.encode_chunked(file_a, mode, "a.bin"))
+            + list(api.encode_chunked(file_b, mode, "b.bin"))
+        )
+        received = {}
+        rx = StreamingReceiver(mode, on_file=lambda name, data: received.__setitem__(name, data))
+        _feed(rx, sig)
+        assert received.get("a.bin") == file_a
+        assert received.get("b.bin") == file_b
