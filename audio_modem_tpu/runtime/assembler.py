@@ -147,6 +147,21 @@ class ChunkAssembler:
             out[off : off + len(data)] = data
         return bytes(out[: self.total_file_size])
 
+    def assemble_to_file(self, path: str) -> int:
+        """Stream-assemble to disk in O(chunk) memory — the reference claims
+        O(chunkSize) on both sides (README_en.md:61) but its assembleFile
+        materializes the whole file; this delivers it for 500MB-class
+        transfers. Missing chunks stay zero-filled. Returns bytes written."""
+        with open(path, "wb") as f:
+            f.truncate(self.total_file_size)
+            for seq, data in self._iter_chunks():
+                off = seq * self.chunk_size
+                if off >= self.total_file_size:
+                    continue
+                f.seek(off)
+                f.write(data[: self.total_file_size - off])
+        return self.total_file_size
+
     def _iter_chunks(self):
         if self._db is not None:
             yield from self._db.execute("SELECT seq, data FROM chunks ORDER BY seq")

@@ -277,3 +277,19 @@ class TestSuccessiveTransfers:
         _feed(rx, sig)
         assert received.get("a.bin") == file_a
         assert received.get("b.bin") == file_b
+
+
+class TestAssembleToFile:
+    def test_streaming_disk_assembly(self, tmp_path):
+        from audio_modem_tpu.runtime.assembler import ChunkAssembler
+
+        asm = ChunkAssembler()
+        asm.handle_metadata(MetaFrame(3, 70, 32, "d.bin", True))
+        asm.handle_data_chunk(DataFrame(0, b"a" * 32, True))
+        asm.handle_data_chunk(DataFrame(2, b"c" * 6, True))  # final short chunk
+        out = tmp_path / "out.bin"
+        n = asm.assemble_to_file(str(out))
+        assert n == 70
+        data = out.read_bytes()
+        assert data == b"a" * 32 + bytes(32) + b"c" * 6
+        assert data == asm.assemble()
