@@ -163,7 +163,7 @@ def _decode_request(signal: np.ndarray, mode: ModemMode) -> RequestFrame | frami
     """Full-signal decode of a request frame: sync + demod via the normal
     pipeline, then 0xFC parse of the raw bytes."""
     from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
-    from audio_modem_tpu import sync, phy
+    from audio_modem_tpu import sync
     import jax.numpy as jnp
 
     p = mode.profile
