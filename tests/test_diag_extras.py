@@ -131,3 +131,31 @@ class TestEvm:
         noisy_sig = ch.apply_channel_np(sig, ch.ChannelSpec(snr_db=12.0), seed=21)
         noisy = diag.analyze_loopback(noisy_sig, mode)
         assert noisy.evm > clean.evm * 3
+
+
+class TestSlidingCorrelate:
+    def test_matches_direct_correlation(self):
+        from audio_modem_tpu.configs import OFDM_PROFILES
+
+        rng = np.random.default_rng(31)
+        for pname in ("standard", "acoustic", "narrowband"):
+            p = OFDM_PROFILES[pname]
+            plen = p.symbol_len
+            L = plen + 500
+            x = rng.standard_normal(L).astype(np.float32)
+            got = np.asarray(sync.sliding_correlate(jnp.asarray(x), p))
+            pre1 = p.preamble1.astype(np.float64)
+            ref = np.array([x[d : d + plen].astype(np.float64) @ pre1 for d in range(L - plen + 1)])
+            assert got.shape == ref.shape
+            assert np.abs(got - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
+
+    def test_batched(self):
+        from audio_modem_tpu.configs import OFDM_PROFILES
+
+        p = OFDM_PROFILES["standard"]
+        rng = np.random.default_rng(33)
+        x = rng.standard_normal((3, p.symbol_len + 300)).astype(np.float32)
+        got = np.asarray(sync.sliding_correlate(jnp.asarray(x), p))
+        for i in range(3):
+            one = np.asarray(sync.sliding_correlate(jnp.asarray(x[i]), p))
+            assert np.allclose(got[i], one, atol=1e-5)
