@@ -1,14 +1,17 @@
 """Preamble synchronization: Schmidl-Cox autocorrelation + xcorr refinement.
 
 Re-design of modem.js:235-319 and the fine search of modem.js:567-588 for
-TPU. The reference's O(1)-per-sample sliding recurrences are sequential; here
-every window sum is computed independently via a windowed-sum convolution
-(ones kernel), which XLA lowers to fused vector ops — fully parallel over
-positions, streams and frames, and numerically safer than long-range cumsum
-differences in float32 (no catastrophic cancellation across the signal).
+TPU. The reference's O(1)-per-sample sliding recurrences are sequential;
+here everything is parallel over positions, streams and frames:
 
-All functions take a traced ``n_valid`` so one compiled executable serves any
-signal length within a padding bucket.
+* window sums via doubling decomposition (exact pairwise trees, no
+  long-range float32 cancellation, no O(T*window) conv) — optionally only
+  at stride-aligned positions for the coarse scan;
+* template cross-correlation as a block-Toeplitz MXU matmul against a
+  128-row lane-shifted template bank (sliding_correlate).
+
+All functions take a traced ``n_valid`` so one compiled executable serves
+any signal length within a padding bucket.
 """
 
 from __future__ import annotations
