@@ -92,6 +92,21 @@ def main() -> None:
     # ---- detect-only p50 latency (one stream window) ----
     from audio_modem_tpu import sync
 
+    # ---- encode-side throughput (batched modulate + frame synthesis) ----
+    from audio_modem_tpu import phy
+    from audio_modem_tpu.framing import payload_to_bits, build_data_chunk_payload
+
+    bits_one = payload_to_bits(build_data_chunk_payload(rng.bytes(chunk_size), 0), mode)
+    bits_batch = jax.device_put(jnp.asarray(np.tile(bits_one, (n_streams, 1))))
+    enc = jax.jit(lambda b: phy.modulate(b, mode))
+    jax.block_until_ready(enc(bits_batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        enc_out = enc(bits_batch)
+    jax.block_until_ready(enc_out)
+    dt_enc = time.perf_counter() - t0
+    enc_msps = n_streams * n_payload_sym * sym * iters / dt_enc / 1e6
+
     # Pipelined per-call time at depth 10: a single blocking call through the
     # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
     # not; pipelining amortizes it and reflects the device-side cost.
@@ -131,6 +146,7 @@ def main() -> None:
                     "batch512_full_pipeline_msps": round(msps_512, 2),
                     "batch512_realtime_streams": round(msps_512 * 1e6 / 44100.0, 0),
                     "frame_demod_only_msps": round(msps_demod, 2),
+                    "encode_modulate_msps": round(enc_msps, 2),
                     "frames_per_sec": round(frames_per_sec, 1),
                     "p50_detect_latency_ms": round(p50_detect_ms, 3),
                     "platform": jax.devices()[0].platform,
