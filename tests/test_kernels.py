@@ -62,3 +62,36 @@ def test_detect_kernel_batch_padding():
         jnp.full(3, 0.01, jnp.float32), interpret=True,
     )
     assert idx.shape == (3,) and best.shape == (3,)
+
+
+class TestFusedFrontend:
+    def test_matches_xla_pipeline(self):
+        import jax
+        import jax.numpy as jnp
+
+        from audio_modem_tpu import framing, sync
+        from audio_modem_tpu.configs import MODES
+        from audio_modem_tpu.kernels.frontend import frontend_fused
+        from audio_modem_tpu.parallel.batch import pad_signals
+
+        mode = MODES["QPSK"]
+        p = mode.profile
+        rng = np.random.default_rng(41)
+        frames = [framing.build_data_chunk_frame(rng.bytes(200), s, mode) for s in range(8)]
+        signals, n_valid = pad_signals(
+            frames, pad_len=max(len(f) for f in frames) + 8 * p.cp_len + 2 * p.symbol_len
+        )
+        zeros = jnp.zeros(signals.shape[0], jnp.int32)
+        sp = sync.preprocess(jnp.asarray(signals), jnp.asarray(n_valid))
+        cx, _ = sync.detect_preamble(sp, p, jnp.asarray(n_valid), stride=16)
+        sx, mx = jax.vmap(lambda s, c, n: sync.refine_xcorr(s, jnp.maximum(c, 0), p, n))(
+            sp, cx, jnp.asarray(n_valid)
+        )
+        st, fm, co, pre = frontend_fused(
+            jnp.asarray(signals), jnp.asarray(n_valid), zeros, p, interpret=True
+        )
+        assert np.array_equal(np.asarray(sx), np.asarray(st))  # refined starts identical
+        assert np.abs(np.asarray(mx) - np.asarray(fm)).max() < 1e-5
+        assert np.abs(np.asarray(pre) - np.asarray(sp)).max() < 1e-6
+        # coarse may differ only within the metric plateau (<= CP)
+        assert np.abs(np.asarray(cx) - np.asarray(co)).max() <= p.cp_len
