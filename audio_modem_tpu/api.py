@@ -58,9 +58,14 @@ def encode(
     return list(encode_chunked(data, mode, file_name, fec=fec))
 
 
-def decode(signal: np.ndarray, mode: str | ModemMode = "QPSK") -> tuple[ParseResult, decoder.DecodeInfo | None]:
-    """Full-signal decode of one frame (modem.js:557-654)."""
-    return decoder.decode_signal(np.asarray(signal, dtype=np.float32), _resolve(mode))
+def decode(
+    signal: np.ndarray, mode: str | ModemMode = "QPSK", track_timing: bool = False
+) -> tuple[ParseResult, decoder.DecodeInfo | None]:
+    """Full-signal decode of one frame (modem.js:557-654). ``track_timing``
+    enables the clock-drift timing tracker for long frames (extension)."""
+    return decoder.decode_signal(
+        np.asarray(signal, dtype=np.float32), _resolve(mode), track_timing=track_timing
+    )
 
 
 @dataclasses.dataclass

@@ -160,27 +160,10 @@ def run_arq_session(
 
 
 def _decode_request(signal: np.ndarray, mode: ModemMode) -> RequestFrame | framing.FrameError:
-    """Full-signal decode of a request frame: sync + demod via the normal
-    pipeline, then 0xFC parse of the raw bytes."""
-    from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
-    from audio_modem_tpu import sync
-    import jax.numpy as jnp
-
-    p = mode.profile
-    sym = p.symbol_len
-    n_valid = len(signal)
-    pad_len = decoder._bucket_len(n_valid)
-    max_syms = decoder._max_symbols(pad_len, mode)
-    sig = np.zeros(pad_len, np.float32)
-    sig[:n_valid] = signal
-    coarse, start, metric, bits, _, _ = decoder._decode_core(
-        jnp.asarray(sig), jnp.int32(n_valid), jnp.int32(0), mode, max_syms
-    )
-    if int(coarse) < 0 or float(metric) < sync.XCORR_THRESHOLD:
-        return framing.FrameError("Request preamble not detected")
-    data_start = int(start) + 3 * sym
-    n_sym = max((n_valid - data_start) // sym, 0)
-    b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
-    if mode.repetition > 1:
-        b = majority_vote(b, mode.repetition)
-    return parse_request(bits_to_bytes(b))
+    """Full-signal decode of a request frame: the PUBLIC retry-loop decode
+    path (decoder.decode_raw — same false-positive resume as decode_signal,
+    so a noisy back link gets the same robustness), then 0xFC parse."""
+    raw, _ = decoder.decode_raw(signal, mode)
+    if isinstance(raw, framing.FrameError):
+        return raw
+    return parse_request(raw)

@@ -44,6 +44,15 @@ def cmd_decode(args) -> int:
     from audio_modem_tpu.utils.wav import read_wav
 
     signal, rate = read_wav(args.input)
+    # waveform trimmer analog (app.js:1252-1306 / index.html:213-225):
+    # slice the recording to [trim_start, trim_end] seconds before decoding
+    if args.trim_start or args.trim_end is not None:
+        lo = int(max(args.trim_start, 0.0) * rate)
+        hi = int(args.trim_end * rate) if args.trim_end is not None else len(signal)
+        if hi <= lo:
+            print("error: empty trim range", file=sys.stderr)
+            return 1
+        signal = signal[lo:hi]
     result, info = api.decode(signal, args.mode)
     if isinstance(result, framing.FrameError):
         print(f"error: {result.error}", file=sys.stderr)
@@ -117,6 +126,87 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_listen(args) -> int:
+    """Live receive from a PCM byte stream (pipe/socket/stdin) — the
+    getUserMedia streaming-receive analog (app.js:1059-1161)."""
+    from audio_modem_tpu import framing
+    from audio_modem_tpu.runtime.ingest import listen
+
+    stream = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+
+    def stats_line(stats, samples, meter):
+        bar = "#" * min(int(meter.rms * 40), 20)
+        clip = " CLIP" if meter.clipping else ""
+        print(
+            f"\r[listen] {samples/44100:8.1f}s audio | level [{bar:<20}]{clip} "
+            f"| frames {stats.frames_decoded} "
+            f"| chunks {stats.chunks_received}/{stats.total_chunks or '?'} "
+            f"| errors {stats.frame_errors + stats.crc_errors}",
+            end="",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    try:
+        report = listen(
+            stream,
+            args.mode,
+            block=args.block,
+            fmt=args.pcm,
+            persist_path=args.state,
+            resume=args.resume,
+            fec=args.fec,
+            on_stats=stats_line,
+        )
+    finally:
+        if stream is not sys.stdin.buffer:
+            stream.close()
+    print("", file=sys.stderr)
+    res = report.result
+    if isinstance(res, framing.FrameError):
+        print(f"error: {res.error}", file=sys.stderr)
+        return 1
+    out = Path(args.output or res.file_name or "received.bin")
+    out.write_bytes(res.data)
+    status = "complete" if res.complete else f"PARTIAL, missing {res.missing_chunks}"
+    print(
+        f"received {res.received_chunks}/{res.total_chunks} chunks "
+        f"({res.crc_errors} CRC errors, {report.realtime_factor:.1f}x realtime) "
+        f"-> {out} [{status}]"
+    )
+    return 0 if res.complete else 2
+
+
+def cmd_play(args) -> int:
+    """Paced transmit: file -> raw PCM on stdout (or a pipe/file) at the
+    audio rate — the AudioContext playback analog (app.js:305-316)."""
+    from audio_modem_tpu.runtime.ingest import play
+
+    data = Path(args.input).read_bytes()
+    stream = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+
+    def on_frame(seq, total):
+        print(f"\r[play] frame {seq + 1}/{total}", end="", file=sys.stderr, flush=True)
+
+    try:
+        written = play(
+            data,
+            stream,
+            args.mode,
+            Path(args.input).name,
+            fmt=args.pcm,
+            speed=0.0 if args.no_pace else args.speed,
+            fec=args.fec,
+            chunked=not args.legacy,
+            on_frame=on_frame,
+        )
+    finally:
+        if stream is not sys.stdout.buffer:
+            stream.close()
+    print(f"\nplayed {written} samples ({written/44100:.2f}s)", file=sys.stderr)
+    return 0
+
+
 def cmd_info(args) -> int:
     from audio_modem_tpu.configs import MODES
 
@@ -146,6 +236,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("decode", help="WAV -> file (single frame)")
     p.add_argument("input"); p.add_argument("-o", "--output"); _add_mode(p)
+    p.add_argument("--trim-start", type=float, default=0.0, metavar="SEC",
+                   help="discard audio before SEC (trimmer analog)")
+    p.add_argument("--trim-end", type=float, default=None, metavar="SEC",
+                   help="discard audio after SEC")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("receive", help="WAV -> file (chunked streaming)")
@@ -163,6 +257,27 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sweep", help="generate a frequency sweep tone")
     p.add_argument("output")
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("listen", help="live receive from a PCM stream (pipe/stdin)")
+    p.add_argument("input", help="PCM source path, or - for stdin")
+    p.add_argument("-o", "--output"); _add_mode(p)
+    p.add_argument("--pcm", choices=("f32", "s16"), default="f32")
+    p.add_argument("--block", type=int, default=4096)
+    p.add_argument("--state", help="sqlite path for crash-resumable chunk store")
+    p.add_argument("--resume", action="store_true", help="resume from --state")
+    p.set_defaults(fn=cmd_listen)
+
+    p = sub.add_parser("play", help="paced transmit: file -> PCM stream at audio rate")
+    p.add_argument("input")
+    p.add_argument("output", help="PCM sink path, or - for stdout")
+    _add_mode(p)
+    p.add_argument("--pcm", choices=("f32", "s16"), default="f32")
+    p.add_argument("--speed", type=float, default=1.0, help="pacing multiple of real time")
+    p.add_argument("--no-pace", action="store_true", help="write at full throughput")
+    p.add_argument("--legacy", action="store_true",
+                   help="size-routed framing (small files -> one legacy frame; "
+                        "not decodable by listen)")
+    p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("info", help="mode/rate table")
     p.set_defaults(fn=cmd_info)

@@ -47,6 +47,39 @@ def _max_symbols(pad_len: int, mode: ModemMode) -> int:
     return max((pad_len - 3 * mode.profile.symbol_len) // mode.profile.symbol_len, 1)
 
 
+def _core_dispatch(
+    signal: jnp.ndarray,
+    n_valid,
+    min_pos,
+    mode: ModemMode,
+    max_syms: int,
+):
+    """Route one padded signal through the fused Pallas kernel on TPU
+    (kernels.receive.decode_fused) or the XLA pipeline elsewhere; both are
+    decision-identical (tests/test_kernels.py)."""
+    from audio_modem_tpu.kernels import kernels_enabled
+
+    if kernels_enabled():
+        from audio_modem_tpu.kernels.receive import decode_fused
+
+        out = decode_fused(
+            signal[None],
+            jnp.asarray([n_valid], jnp.int32),
+            jnp.asarray([min_pos], jnp.int32),
+            mode,
+            max_syms,
+        )
+        return (
+            out["coarse"][0],
+            out["start"][0],
+            out["fine_metric"][0],
+            out["bits"][0],
+            out["ch_re"][0],
+            out["ch_im"][0],
+        )
+    return _decode_core(signal, jnp.int32(n_valid), jnp.int32(min_pos), mode, max_syms)
+
+
 @partial(jax.jit, static_argnames=("mode", "max_syms"))
 def _decode_core(
     signal: jnp.ndarray,
@@ -55,7 +88,7 @@ def _decode_core(
     mode: ModemMode,
     max_syms: int,
 ):
-    """Device pipeline for one padded signal.
+    """Device pipeline for one padded signal (XLA formulation).
 
     Returns (coarse_idx, start_idx, fine_metric, bits[max_syms*bps_sym],
     ch_re, ch_im).
@@ -78,11 +111,27 @@ def _decode_core(
     return coarse, start, fine_metric, bits, ch_re, ch_im
 
 
-def decode_signal(signal: np.ndarray, mode: ModemMode) -> tuple[ParseResult, DecodeInfo | None]:
-    """Decode a full recorded signal (modem.js:557-654).
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _tracked_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray, mode: ModemMode, n_sym: int):
+    """Re-demodulate the data region with the timing-tracking loop
+    (phy.demodulate_tracked) — used for long frames under clock drift."""
+    p = mode.profile
+    sym = p.symbol_len
+    sig = sync.preprocess(signal, n_valid)
+    ext = jnp.pad(sig, (0, 8192))
+    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+    return phy.demodulate_tracked(ext, start + 3 * sym, n_sym, ch_re, ch_im, mode)
 
-    Returns (parse result | FrameError, DecodeInfo | None). Error strings
-    mirror the reference so callers/tests can match on them.
+
+def decode_raw(
+    signal: np.ndarray, mode: ModemMode, track_timing: bool = False
+) -> tuple[bytes | FrameError, DecodeInfo | None]:
+    """Full-signal sync + demod -> raw payload BYTES (repetition undone,
+    packed), before any frame-type parse. The public path for every
+    full-signal consumer — decode_signal and the ARQ request decoder — so
+    all of them get the false-positive retry loop (the one-shot analog of
+    the streaming receiver's IDLE-state resume, app.js:879-884).
     """
     p = mode.profile
     sym = p.symbol_len
@@ -94,14 +143,11 @@ def decode_signal(signal: np.ndarray, mode: ModemMode) -> tuple[ParseResult, Dec
     sig[:n_valid] = signal
     sig_dev = jnp.asarray(sig)
 
-    # Host retry loop: if xcorr refinement rejects the coarse candidate as a
-    # false positive, resume the scan past it — the one-shot analog of the
-    # streaming receiver's IDLE-state resume (app.js:879-884).
     min_pos, coarse, start, fine_metric = 0, -1, -1, -np.inf
     bits = ch_re = ch_im = None
     for _ in range(4):
-        coarse_t, start_t, metric_t, bits, ch_re, ch_im = _decode_core(
-            sig_dev, jnp.int32(n_valid), jnp.int32(min_pos), mode, max_syms
+        coarse_t, start_t, metric_t, bits, ch_re, ch_im = _core_dispatch(
+            sig_dev, n_valid, min_pos, mode, max_syms
         )
         coarse = int(coarse_t)
         if coarse < 0:
@@ -132,8 +178,31 @@ def decode_signal(signal: np.ndarray, mode: ModemMode) -> tuple[ParseResult, Dec
     # Reference demodulates floor((len - dataStart)/symbol_len) symbols
     # (modem.js:368); truncate the fixed-size device output to match.
     n_sym = (n_valid - data_start) // sym
-    result = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=10)
-    return result, info
+    if track_timing and n_sym > 0:
+        bits, _tau = _tracked_core(sig_dev, jnp.int32(n_valid), jnp.int32(start), mode, int(n_sym))
+        b = np.asarray(bits)
+    else:
+        b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
+    if mode.repetition > 1:
+        b = majority_vote(b, mode.repetition)
+    return bytes(bits_to_bytes(b)), info
+
+
+def decode_signal(
+    signal: np.ndarray, mode: ModemMode, track_timing: bool = False
+) -> tuple[ParseResult, DecodeInfo | None]:
+    """Decode a full recorded signal (modem.js:557-654).
+
+    Returns (parse result | FrameError, DecodeInfo | None). Error strings
+    mirror the reference so callers/tests can match on them.
+    ``track_timing`` enables the sample-timing tracking loop for long
+    frames under TX/RX clock offset (phy.demodulate_tracked) — a capability
+    the reference does not have.
+    """
+    raw, info = decode_raw(signal, mode, track_timing=track_timing)
+    if isinstance(raw, FrameError):
+        return raw, info
+    return parse_payload_bytes(raw, min_len=10), info
 
 
 def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:

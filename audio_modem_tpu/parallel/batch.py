@@ -22,14 +22,25 @@ from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.channel import awgn
 
 
-@partial(jax.jit, static_argnames=("mode", "n_sym"))
 def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     """Frame-aligned batch decode: [B, 3*sym + n_sym*sym] -> bits [B, n_bits].
 
     Batched decodeChunkFrame (modem.js:770-803): per-frame peak
     normalization (app.js:918-925), CE, demod. The whole batch is one
-    program; shard the leading axis to span chips.
+    program; shard the leading axis to span chips. On TPU this dispatches
+    to the fused Pallas kernel (kernels.receive.decode_chunks_fused).
     """
+    from audio_modem_tpu.kernels import kernels_enabled
+
+    if kernels_enabled():
+        from audio_modem_tpu.kernels.receive import decode_chunks_fused
+
+        return decode_chunks_fused(frames, mode, n_sym)
+    return _batch_decode_chunk_frames_xla(frames, mode, n_sym)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _batch_decode_chunk_frames_xla(frames: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     p = mode.profile
     sym = p.symbol_len
     mx = jnp.abs(frames).max(axis=-1, keepdims=True)
@@ -63,13 +74,30 @@ def _single_signal_decode(sig_ext, n_valid, mode: ModemMode, max_syms: int):
     }
 
 
-@partial(jax.jit, static_argnames=("mode", "max_syms"))
 def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
     """Full-pipeline batch decode: [B, T] padded signals + [B] valid lengths.
 
     Returns dict of [B]-leading arrays (bits [B, max_syms*bits_per_symbol]).
     Shard ``signals``/``n_valid`` over the stream axis for multi-chip.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (kernels.receive.decode_fused — one VMEM-resident pass, bits-only HBM
+    output); elsewhere to the XLA formulation. Decision-identical
+    (tests/test_kernels.py).
     """
+    from audio_modem_tpu.kernels import kernels_enabled
+
+    if kernels_enabled():
+        from audio_modem_tpu.kernels.receive import decode_fused
+
+        return decode_fused(
+            signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32), mode, max_syms
+        )
+    return _batch_decode_signals_xla(signals, n_valid, mode, max_syms)
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms"))
+def _batch_decode_signals_xla(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
     sym = mode.profile.symbol_len
     sig = sync.preprocess(signals, n_valid)
     ext = jnp.pad(sig, ((0, 0), (0, (3 + max_syms) * sym)))
@@ -102,13 +130,13 @@ def batch_loopback_step(bits: jnp.ndarray, key: jax.Array, mode: ModemMode, n_sy
 def pad_signals(signals: list[np.ndarray], pad_len: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Host helper: ragged signal list -> ([B, pad_len] f32, [B] int32).
 
-    The padded length is rounded up to a multiple of 64 so the windowed-sum
-    fast path applies (sync.windowed_sum), instead of the O(T*window) conv
-    fallback.
+    The padded length is rounded up to a multiple of 128 — a whole number of
+    TPU lane tiles (the fused kernel's block DMA and reshapes want this) and
+    a multiple of 64 so the windowed-sum fast path applies (sync.windowed_sum).
     """
     n_valid = np.asarray([len(s) for s in signals], dtype=np.int32)
     t = int(pad_len or int(n_valid.max()))
-    t = -(-t // 64) * 64
+    t = -(-t // 128) * 128
     out = np.zeros((len(signals), t), dtype=np.float32)
     for i, s in enumerate(signals):
         out[i, : len(s)] = s[:t]

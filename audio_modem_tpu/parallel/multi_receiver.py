@@ -291,17 +291,31 @@ class BatchReceiver:
     # ---- results ----
 
     def flush(self) -> None:
-        """Decode partially collected frames at end of input."""
+        """Decode partially collected frames at end of input.
+
+        Mirrors runtime.receiver.StreamingReceiver.flush for EVERY stream
+        state: a stream that detected a preamble but hadn't refined when the
+        input ended (PREAMBLE_DETECTED) gets one final refinement attempt on
+        whatever samples exist, then demodulates from its best-known
+        position — previously such streams silently dropped their last frame.
+        Frame expectations are truncated to the samples actually available
+        (the batch analog of partial_ok)."""
         p = self.mode.profile
+        # final refinement attempt with the samples we have
+        self._refine_all()
         for s in self.streams:
-            if s.state is RecvState.COLLECTING_FRAME and s.preamble_pos >= 0:
+            if (
+                s.state in (RecvState.PREAMBLE_DETECTED, RecvState.COLLECTING_FRAME)
+                and s.preamble_pos >= 0
+            ):
                 have = s.ring.available_from(s.preamble_pos)
                 if have >= 4 * p.symbol_len:
-                    s.expected_frame_end = s.preamble_pos + have
+                    end = s.preamble_pos + have
+                    if s.expected_frame_end > 0:
+                        end = min(end, s.expected_frame_end)
+                    s.expected_frame_end = end
+                    s.state = RecvState.COLLECTING_FRAME
         self._demod_ready()
-        # streams still waiting with partial frames: truncate expectations
-        for _ in range(2):
-            self._demod_ready()
 
     def results(self):
         return [

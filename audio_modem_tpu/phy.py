@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,6 +149,133 @@ def demodulate(
     bits = con.demap(mode.constellation, cr, ci)  # [..., n_sym, n_data*bps]
     *lead, n_sym, per = bits.shape
     return bits.reshape(*lead, n_sym * per)
+
+
+def demodulate_tracked(
+    sig_ext: jnp.ndarray,
+    data_start: jnp.ndarray,
+    n_sym: int,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+    mode: ModemMode,
+    block_syms: int = 64,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Demodulate ``n_sym`` symbols with SAMPLE-TIMING TRACKING — the
+    capability that lets multi-minute frames survive TX/RX clock offset.
+
+    The reference corrects only the pilots' common phase per symbol
+    (modem.js:397-405); a 50 ppm clock offset accumulates ~1 sample of
+    timing drift every ~700 ms, so its symbol windows walk off the cyclic
+    prefix within seconds on long frames. Here a second-order timing loop
+    runs over symbol blocks (lax.scan over blocks; everything inside a
+    block is batched):
+
+      * each symbol's window start gets the predicted offset tau + rate*j,
+        rounded to samples (per-symbol dynamic slices);
+      * the sub-sample remainder is corrected in frequency: a timing error
+        d shifts bin k's phase by 2*pi*k*d/N, so the spectrum is de-rotated
+        by the predicted fraction;
+      * the residual timing error is measured from the pilots' PHASE SLOPE
+        ACROSS FREQUENCY (least squares over pilot bins, small-angle
+        phases) and fed back: tau -= g1*err, rate -= g2*err/B.
+
+    The channel estimate from the frame-head CE symbol stays valid: timing
+    normalization removes the drift-induced phase walk, and the common-phase
+    rotation (same as the reference's) absorbs the rest.
+
+    Returns (bits [n_sym * bits_per_symbol], final tau). Opt-in (not the
+    default demod) because on drift-free signals the extra float work
+    changes junk-bit patterns the bit-exactness tests pin down.
+    """
+    p = mode.profile
+    tabs = _bin_tables(p)
+    sym = p.symbol_len
+    fft = p.fft_size
+    cp = p.cp_len
+    data_bins = tuple(int(b) for b in p.data_bins)
+    pilot_bins = tuple(int(b) for b in p.pilot_bins)
+    kd = jnp.asarray(p.data_bins, jnp.float32)
+    kp = jnp.asarray(p.pilot_bins, jnp.float32)
+    dpos, ppos = tabs["data_pos"], tabs["pilot_pos"]
+    chd_re, chd_im = ch_re[dpos][None, :], ch_im[dpos][None, :]
+    chp_re, chp_im = ch_re[ppos][None, :], ch_im[ppos][None, :]
+
+    n_blocks = -(-n_sym // block_syms)
+    jloc = jnp.arange(block_syms, dtype=jnp.float32)
+    g1, g2 = 0.5, 0.25
+    two_pi = 2.0 * np.pi
+
+    def step(carry, b):
+        tau, rate = carry
+        off = tau + rate * jloc  # predicted timing offset per symbol
+        shift = jnp.round(off)
+        frac = off - shift  # sub-sample part, corrected in frequency
+        base = data_start + (b * block_syms + jnp.arange(block_syms)) * sym + cp
+        starts = base + shift.astype(jnp.int32)
+        bodies = jax.vmap(lambda s0: jax.lax.dynamic_slice(sig_ext, (s0,), (fft,)))(starts)
+        d_re, d_im = time_to_spec_bins(bodies, p, data_bins)
+        p_re, p_im = time_to_spec_bins(bodies, p, pilot_bins)
+
+        # predicted-fraction de-rotation: the rounded window starts ``frac``
+        # samples EARLY relative to the ideal timing, so bin k picks up
+        # e^{-j 2 pi k frac / N}; undo it by multiplying e^{+j ...}.
+        def derot(re, im, k):
+            ang = two_pi * k[None, :] * frac[:, None] / fft
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            return re * c - im * s, im * c + re * s
+
+        d_re, d_im = derot(d_re, d_im, kd)
+        p_re, p_im = derot(p_re, p_im, kp)
+
+        dr, di = equalize(d_re, d_im, chd_re, chd_im)
+        pr, pi = equalize(p_re, p_im, chp_re, chp_im)
+
+        # residual timing from DIFFERENTIAL pilot phase: the phase step
+        # between adjacent pilots (spacing dk bins) is 2*pi*dk*delta/N —
+        # unambiguous for |delta| < N/(2*max dk) (~18-25 samples), unlike a
+        # direct per-bin phase slope, which wraps past ~1 sample. atan2 of
+        # the adjacent-pilot complex products reads it over the full range.
+        u_re = pr[:, 1:] * pr[:, :-1] + pi[:, 1:] * pi[:, :-1]
+        u_im = pi[:, 1:] * pr[:, :-1] - pr[:, 1:] * pi[:, :-1]
+        mag_ok = (pr[:, 1:] ** 2 + pi[:, 1:] ** 2 > 1e-12) & (
+            pr[:, :-1] ** 2 + pi[:, :-1] ** 2 > 1e-12
+        )
+        ang = jnp.where(mag_ok, jnp.arctan2(u_im, u_re), 0.0)  # [B, np-1]
+        dks = kp[1:] - kp[:-1]  # pilot spacings, bins
+        coef = jnp.where(mag_ok, (two_pi / fft) * dks[None, :], 0.0)
+        delta = ang.sum(-1) / jnp.maximum(coef.sum(-1), 1e-6)  # samples
+        n_ok = mag_ok.sum(-1)
+        delta = jnp.where(n_ok >= 1, delta, 0.0)
+        delta_blk = jnp.clip(
+            delta.sum() / jnp.maximum((n_ok >= 1).sum(), 1), -8.0, 8.0
+        )
+
+        # common phase (reference small-angle semantics) + demap
+        usable = jnp.abs(pr) > 1e-6
+        phi = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
+        cnt = usable.sum(axis=-1)
+        mean_phi = jnp.where(cnt > 0, phi.sum(-1) / jnp.maximum(cnt, 1), 0.0)[:, None]
+        cr = dr + di * mean_phi
+        ci = di - dr * mean_phi
+        bits = con.demap(mode.constellation, cr, ci)  # [B, n_data*bps]
+
+        new_rate = rate - g2 * delta_blk / block_syms
+        new_tau = tau + rate * block_syms - g1 * delta_blk
+        return (new_tau, new_rate), (bits, delta_blk)
+
+    init = (jnp.float32(0.0), jnp.float32(0.0))
+    blocks_idx = jnp.arange(n_blocks)
+    # Two passes: the loop needs a few blocks to ACQUIRE the drift rate, and
+    # symbols demodulated during acquisition would be lost in a single pass.
+    # Pass 1 runs the identical loop just to learn the rate; pass 2 re-demods
+    # from symbol 0 with the rate pre-loaded (tau restarts at 0 because the
+    # sync anchors timing at the frame head).
+    (tau_acq, rate_acq), _ = jax.lax.scan(step, init, blocks_idx)
+    (tau_f, _), (bits, deltas) = jax.lax.scan(
+        step, (jnp.float32(0.0), rate_acq), blocks_idx
+    )
+    bits = bits.reshape(n_blocks * block_syms, -1)[:n_sym]
+    return bits.reshape(-1), tau_f
 
 
 def channel_magnitude(ch_re: jnp.ndarray, ch_im: jnp.ndarray) -> jnp.ndarray:

@@ -22,6 +22,17 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the per-mode matrix compiles ~10 fresh
+    # executables and every fresh compile goes through the remote relay
+    # (20-100 s each); caching makes reruns (and the driver's round-end
+    # bench) take seconds instead of ~25 minutes.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_amt_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from audio_modem_tpu import framing
@@ -106,6 +117,30 @@ def main() -> None:
     jax.block_until_ready(enc_out)
     dt_enc = time.perf_counter() - t0
     enc_msps = n_streams * n_payload_sym * sym * iters / dt_enc / 1e6
+
+    # ---- per-mode full-pipeline Msps (all profiles x constellations) ----
+    # Catches regressions in acoustic/narrowband matmul shapes (CP 128/256)
+    # and the 16/64-QAM demap cost that the QPSK headline can't see.
+    per_mode = {}
+    for mode_name in ("QPSK", "16-QAM", "64-QAM", "BPSK-ACOUSTIC", "BPSK-NARROW"):
+        m = MODES[mode_name]
+        msym = m.profile.symbol_len
+        payload = 512 if "BPSK" in mode_name else m.chunk_size
+        mframes = [
+            framing.build_data_chunk_frame(rng.bytes(payload), seq, m) for seq in range(8)
+        ] * 8
+        msignals, mnv = pad_signals(mframes)
+        mmax_syms = max((msignals.shape[1] - 3 * msym) // msym, 1)
+        ms_dev = jax.device_put(jnp.asarray(msignals))
+        mnv_dev = jax.device_put(jnp.asarray(mnv))
+        mfull = jax.jit(lambda s, nv, m=m, k=mmax_syms: batch_decode_signals(s, nv, m, k))
+        mout = jax.block_until_ready(mfull(ms_dev, mnv_dev)["detected"])
+        assert bool(np.asarray(mout).all()), f"{mode_name} bench decode failed detection"
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            mo = mfull(ms_dev, mnv_dev)
+        jax.block_until_ready(mo["bits"])
+        per_mode[mode_name] = round(int(mnv.sum()) * iters / (time.perf_counter() - t0) / 1e6, 1)
 
     # Pipelined per-call time at depth 10: a single blocking call through the
     # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
