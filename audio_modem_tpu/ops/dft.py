@@ -66,6 +66,56 @@ def _rx_matrix_for_bins(profile: OfdmProfile, bins: tuple[int, ...]) -> np.ndarr
     return np.concatenate([cos, msin], axis=1).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def tx_data_tables(profile: OfdmProfile) -> tuple[np.ndarray, np.ndarray]:
+    """Fully-fused TX synthesis tables: (data_matrix, pilot_row).
+
+    Folds three steps of modulateOFDM (modem.js:322-362) into ONE matmul
+    plus a broadcast add:
+      * the scatter of mapped data points into the active-bin spectrum
+        (a gather/scatter XLA lowers poorly on TPU) becomes row selection
+        of the TX DFT matrix, precomputed on host;
+      * the pilot bins (always 1+0j, modem.js:338-341) become a constant
+        time-domain row, precomputed in float64;
+      * the cyclic prefix (modem.js:202-208) becomes cyclic column
+        extension of the matrix — the matmul emits the full symbol.
+
+    data_matrix: [2*n_data, symbol_len] f32 — stacked (cos_k, -sin_k)*2/N
+    rows for DATA bins only, columns cyclically extended so column t holds
+    sample ((t - cp) mod fft). pilot_row: [symbol_len] f32.
+
+      symbol = [data_re | data_im] @ data_matrix + pilot_row
+    """
+    n = profile.fft_size
+    cp = profile.cp_len
+    k = profile.active_bins[:, None].astype(np.float64)
+    t = np.arange(n)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * t / n
+    cos = (2.0 / n) * np.cos(ang)
+    msin = -(2.0 / n) * np.sin(ang)
+
+    pilot_mask = profile.pilot_mask_active
+    data_rows = ~pilot_mask
+    # pilots are 1+0j: only the cos rows contribute; sum in float64
+    pilot_body = cos[pilot_mask].sum(axis=0)
+
+    def extend(m: np.ndarray) -> np.ndarray:
+        return np.concatenate([m[..., n - cp :], m], axis=-1)
+
+    data_matrix = np.concatenate([cos[data_rows], msin[data_rows]], axis=0)
+    return extend(data_matrix).astype(np.float32), extend(pilot_body).astype(np.float32)
+
+
+def synthesize_data_symbols(
+    data_re: jnp.ndarray, data_im: jnp.ndarray, profile: OfdmProfile
+) -> jnp.ndarray:
+    """Mapped data points [..., n_data] -> CP-prefixed symbol [..., symbol_len]
+    in one MXU contraction (see tx_data_tables)."""
+    mat, pilot_row = tx_data_tables(profile)
+    stacked = jnp.concatenate([data_re, data_im], axis=-1).astype(jnp.float32)
+    return jnp.matmul(stacked, mat, precision=_PRECISION) + pilot_row
+
+
 def spec_to_time(spec_re: jnp.ndarray, spec_im: jnp.ndarray, profile: OfdmProfile) -> jnp.ndarray:
     """Active-bin spectrum [..., n_active] -> real time domain [..., fft_size]."""
     stacked = jnp.concatenate([spec_re, spec_im], axis=-1).astype(jnp.float32)

@@ -16,7 +16,11 @@ import numpy as np
 
 from audio_modem_tpu.configs import ModemMode, OfdmProfile
 from audio_modem_tpu.ops import constellations as con
-from audio_modem_tpu.ops.dft import spec_to_time, time_to_spec, time_to_spec_bins
+from audio_modem_tpu.ops.dft import (
+    synthesize_data_symbols,
+    time_to_spec,
+    time_to_spec_bins,
+)
 
 
 @lru_cache(maxsize=None)
@@ -50,19 +54,14 @@ def modulate(bits: jnp.ndarray, mode: ModemMode) -> jnp.ndarray:
     framing layer pads, mirroring modem.js:329).
     """
     p = mode.profile
-    tabs = _bin_tables(p)
     *lead, nb = bits.shape
     n_sym = nb // mode.bits_per_symbol
     grouped = bits.reshape(*lead, n_sym, mode.bits_per_symbol)
     data_re, data_im = con.map_bits(mode.constellation, grouped)  # [..., n_sym, n_data]
-
-    shape = (*lead, n_sym, p.num_active_subs)
-    spec_re = jnp.zeros(shape, jnp.float32).at[..., tabs["data_pos"]].set(data_re)
-    spec_re = spec_re.at[..., tabs["pilot_pos"]].set(1.0)
-    spec_im = jnp.zeros(shape, jnp.float32).at[..., tabs["data_pos"]].set(data_im)
-
-    body = spec_to_time(spec_re, spec_im, p)
-    return add_cp(body, p)
+    # One fused MXU contraction: data scatter + pilot insertion + Hermitian
+    # IFFT + cyclic prefix all folded into a precomputed [2*n_data,
+    # symbol_len] matrix (ops/dft.tx_data_tables).
+    return synthesize_data_symbols(data_re, data_im, p)
 
 
 def estimate_channel(ce_samples: jnp.ndarray, profile: OfdmProfile) -> tuple[jnp.ndarray, jnp.ndarray]:
