@@ -22,6 +22,7 @@ import numpy as np
 
 from audio_modem_tpu import phy, sync
 from audio_modem_tpu.configs import ModemMode
+from audio_modem_tpu.configs import FRAME_FEC
 from audio_modem_tpu.framing import FrameError, ParseResult, parse_payload_bytes
 from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
 
@@ -109,6 +110,71 @@ def _decode_core(
     data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (max_syms * sym,))
     bits = phy.demodulate(data.reshape(max_syms, sym), ch_re, ch_im, mode)
     return coarse, start, fine_metric, bits, ch_re, ch_im
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _evm_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray, mode: ModemMode, n_sym: int):
+    """Per-symbol EVM of the data region — the confidence signal for
+    erasure-aware FEC retry (runs only after an errors-only decode fails)."""
+    p = mode.profile
+    sym = p.symbol_len
+    sig = sync.preprocess(signal, n_valid)
+    ext = jnp.pad(sig, (0, (3 + n_sym) * sym))
+    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+    data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (n_sym * sym,))
+    return phy.symbol_evm(data.reshape(n_sym, sym), ch_re, ch_im, mode)
+
+
+def _byte_erasures(evm: np.ndarray, mode: ModemMode, n_bytes: int) -> np.ndarray | None:
+    """Per-symbol EVM -> per-payload-byte erasure flags (or None).
+
+    A symbol is flagged when its EVM stands out against the frame's median
+    (dropouts/bursts read ~1.0 where clean symbols read the noise level);
+    the flag propagates to every byte the symbol carries, through the
+    repetition code when present (a majority-decoded bit is unreliable when
+    at least half its copies come from flagged symbols).
+
+    ``n_bytes`` bounds the payload region of interest: the demodulator also
+    emits junk-tail symbols (trailing silence, modem.js:368 semantics) whose
+    EVM reads ~1.0, so statistics run only over the symbols that carry the
+    first ``n_bytes`` decoded bytes."""
+    n_used_sym = min(len(evm), -(-n_bytes * 8 * mode.repetition // mode.bits_per_symbol))
+    if n_used_sym <= 0:
+        return None
+    evm = np.asarray(evm[:n_used_sym])
+    med = float(np.median(evm))
+    bad_sym = evm > max(2.0 * med, 0.5)
+    if not bad_sym.any() or bad_sym.all():
+        return None
+    wire_bad = np.repeat(bad_sym, mode.bits_per_symbol)
+    rep = mode.repetition
+    if rep > 1:
+        n_dec = len(wire_bad) // rep
+        dec_bad = wire_bad[: n_dec * rep].reshape(n_dec, rep).sum(axis=1) * 2 >= rep
+    else:
+        dec_bad = wire_bad
+    n_fit = min(n_bytes, len(dec_bad) // 8)
+    flags = np.zeros(n_bytes, bool)
+    flags[:n_fit] = dec_bad[: n_fit * 8].reshape(n_fit, 8).any(axis=1)
+    return flags if flags.any() else None
+
+
+def _is_fec_failure(raw: bytes, result) -> bool:
+    return (
+        isinstance(result, FrameError)
+        and len(raw) > 0
+        and raw[0] == FRAME_FEC
+        and result.error.startswith("FEC decode failed")
+    )
+
+
+def _fec_region_bytes(by: bytes) -> int:
+    """Byte count of the FEC header + coded region within a decoded payload
+    (the part whose erasure flags matter; everything after is junk tail)."""
+    if len(by) < 5:
+        return len(by)
+    return min(len(by), 5 + int.from_bytes(by[1:5], "big"))
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
@@ -202,7 +268,28 @@ def decode_signal(
     raw, info = decode_raw(signal, mode, track_timing=track_timing)
     if isinstance(raw, FrameError):
         return raw, info
-    return parse_payload_bytes(raw, min_len=10), info
+    result = parse_payload_bytes(raw, min_len=10)
+    if _is_fec_failure(raw, result) and info is not None:
+        # errors-and-erasures retry: re-read the data region's per-symbol
+        # EVM, flag burst-hit bytes, decode again with known positions
+        # (2e + f <= 32 per codeword instead of e <= 16)
+        p = mode.profile
+        sym = p.symbol_len
+        n_valid = len(signal)
+        n_sym = (n_valid - (info.preamble_idx + 3 * sym)) // sym
+        if n_sym > 0:
+            pad_len = _bucket_len(n_valid)
+            sig = np.zeros(pad_len, np.float32)
+            sig[:n_valid] = signal
+            evm = np.asarray(
+                _evm_core(jnp.asarray(sig), jnp.int32(n_valid), jnp.int32(info.preamble_idx), mode, int(n_sym))
+            )
+            flags = _byte_erasures(evm, mode, _fec_region_bytes(raw))
+            if flags is not None:
+                retry = parse_payload_bytes(raw, min_len=10, erasures=flags)
+                if not isinstance(retry, FrameError):
+                    return retry, info
+    return result, info
 
 
 def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
@@ -216,8 +303,20 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
     if n_sym <= 0:
         return FrameError("No data after CE")
     usable = 3 * sym + n_sym * sym
-    bits = _chunk_core(jnp.asarray(frame[:usable], dtype=jnp.float32), mode, n_sym)
-    return _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
+    frame_dev = jnp.asarray(frame[:usable], dtype=jnp.float32)
+    bits = _chunk_core(frame_dev, mode, n_sym)
+    result = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
+    if isinstance(result, FrameError) and result.error.startswith("FEC decode failed"):
+        b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
+        if mode.repetition > 1:
+            b = majority_vote(b, mode.repetition)
+        evm = np.asarray(_chunk_evm_core(frame_dev, mode, n_sym))
+        flags = _byte_erasures(evm, mode, _fec_region_bytes(bits_to_bytes(b)))
+        if flags is not None:
+            retry = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6, erasures=flags)
+            if not isinstance(retry, FrameError):
+                return retry
+    return result
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
@@ -229,10 +328,26 @@ def _chunk_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     return phy.demodulate(data, ch_re, ch_im, mode)
 
 
-def _bits_to_parse(bits: np.ndarray, n_sym: int, mode: ModemMode, min_len: int) -> ParseResult:
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _chunk_evm_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    """Per-symbol EVM for a sync-aligned frame (erasure-retry confidence)."""
+    p = mode.profile
+    sym = p.symbol_len
+    ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
+    data = frame[3 * sym :].reshape(n_sym, sym)
+    return phy.symbol_evm(data, ch_re, ch_im, mode)
+
+
+def _bits_to_parse(
+    bits: np.ndarray,
+    n_sym: int,
+    mode: ModemMode,
+    min_len: int,
+    erasures: np.ndarray | None = None,
+) -> ParseResult:
     """Truncate to the valid symbol count, undo repetition, pack, parse."""
     bits = bits[: n_sym * mode.bits_per_symbol]
     if mode.repetition > 1:
         bits = majority_vote(bits, mode.repetition)
     by = bits_to_bytes(bits)
-    return parse_payload_bytes(by, min_len=min_len)
+    return parse_payload_bytes(by, min_len=min_len, erasures=erasures)

@@ -142,13 +142,17 @@ def parse_legacy(by: bytes) -> LegacyFrame | FrameError:
     return LegacyFrame(name, data, expected == actual, expected, actual)
 
 
-def parse_payload_bytes(by: bytes, min_len: int = 10) -> ParseResult:
+def parse_payload_bytes(
+    by: bytes, min_len: int = 10, erasures: "np.ndarray | None" = None
+) -> ParseResult:
     """Dispatch on the first byte (modem.js:609-621, 795-802; 0xFD is the
-    FEC extension wrapper)."""
+    FEC extension wrapper). ``erasures`` is an optional bool array aligned
+    with ``by`` marking demod-flagged unreliable bytes — consumed only by
+    the FEC path (errors-and-erasures RS decoding)."""
     if len(by) < min_len:
         return FrameError("Decoded data too short")
     if by[0] == FRAME_FEC:
-        res = parse_fec(by, min_len)
+        res = parse_fec(by, min_len, erasures=erasures)
         if isinstance(res, FrameError):
             # 0xFD is our extension magic; a reference legacy frame whose
             # (truncated) name is exactly 253 bytes starts with the same
@@ -193,7 +197,9 @@ def wrap_fec(payload: bytes) -> bytes:
     return bytes([FRAME_FEC]) + _be32(len(coded)) + coded
 
 
-def parse_fec(by: bytes, min_len: int = 10) -> ParseResult:
+def parse_fec(
+    by: bytes, min_len: int = 10, erasures: "np.ndarray | None" = None
+) -> ParseResult:
     from audio_modem_tpu.ops.rs import rs_decode
 
     if len(by) < 5:
@@ -206,7 +212,15 @@ def parse_fec(by: bytes, min_len: int = 10) -> ParseResult:
 
         row_lens = codeword_lengths(clen)
         coded = deinterleave(by[5 : 5 + clen], len(row_lens), row_lens)
-        inner, corrected = rs_decode(coded)
+        ers = None
+        if erasures is not None and len(erasures) >= 5 + clen:
+            # route the per-byte flags through the SAME deinterleaver so
+            # each flag lands on the codeword byte it refers to
+            flags = deinterleave(
+                bytes(np.asarray(erasures[5 : 5 + clen], np.uint8)), len(row_lens), row_lens
+            )
+            ers = np.frombuffer(flags, np.uint8).astype(bool)
+        inner, corrected = rs_decode(coded, erasures=ers)
     except ValueError as e:
         return FrameError(f"FEC decode failed: {e}")
     result = parse_payload_bytes(inner, min_len)

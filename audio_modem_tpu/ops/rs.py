@@ -101,12 +101,16 @@ def _syndromes(cw: np.ndarray) -> np.ndarray:
 
 
 def _berlekamp_massey(s: np.ndarray) -> np.ndarray:
-    """One block's syndromes [32] -> error locator sigma (ascending powers)."""
+    """Syndrome sequence (length <= 32) -> error locator sigma (ascending).
+
+    Accepts shortened sequences: errors-and-erasures decoding runs BM on the
+    modified syndromes T_f..T_31 (length NSYM - f), finding an error locator
+    of degree <= (NSYM - f)/2."""
     c = np.zeros(NSYM + 1, dtype=np.int32)
     b = np.zeros(NSYM + 1, dtype=np.int32)
     c[0] = b[0] = 1
     l, m, bb = 0, 1, 1
-    for n_i in range(NSYM):
+    for n_i in range(len(s)):
         d = int(s[n_i])
         for i in range(1, l + 1):
             d ^= int(_gf_mul(c[i], s[n_i - i]))
@@ -139,35 +143,64 @@ def _poly_eval(poly: np.ndarray, x: int) -> int:
     return y
 
 
-def decode_block(cw: np.ndarray, n: int | None = None) -> tuple[np.ndarray, int]:
+def _poly_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """GF(256) polynomial product, ascending powers."""
+    a = np.asarray(a, dtype=np.int32)
+    b = np.asarray(b, dtype=np.int32)
+    out = np.zeros(len(a) + len(b) - 1, dtype=np.int32)
+    for i in range(len(a)):
+        if a[i]:
+            out[i : i + len(b)] ^= _gf_mul(int(a[i]), b).astype(np.int32)
+    return out
+
+
+def decode_block(
+    cw: np.ndarray, n: int | None = None, erasures: tuple[int, ...] = ()
+) -> tuple[np.ndarray, int]:
     """Decode one codeword [n] -> (corrected message [n-32], n_corrected).
 
-    Raises ValueError when more than 16 errors (uncorrectable).
+    ``erasures`` are byte positions (0 = first byte of cw) known to be
+    unreliable — e.g. carried by OFDM symbols whose EVM marks them as hit by
+    a dropout/burst. Errors-and-erasures decoding corrects e errors plus f
+    erasures whenever 2e + f <= 32, i.e. up to DOUBLE the error-only radius
+    when positions are known. Raises ValueError when uncorrectable.
     """
     cw = np.asarray(cw, dtype=np.int32).copy()
     n = n or len(cw)
+    erasures = tuple(sorted({int(i) for i in erasures if 0 <= int(i) < n}))
+    f = len(erasures)
+    if f > NSYM:
+        raise ValueError(f"RS decode failure: {f} erasures > {NSYM}")
     s = _syndromes(cw[None, :])[0]
     if not s.any():
+        # valid codeword: erasure hints were false alarms
         return cw[: n - NSYM].astype(np.uint8), 0
-    sigma, l = _berlekamp_massey(s)
+    # erasure locator Gamma(x) = prod (1 + X_i x), X_i = alpha^{n-1-i}
+    gamma = np.array([1], dtype=np.int32)
+    for i in erasures:
+        x_i = _gf_pow(2, (n - 1 - i) % 255)
+        gamma = _poly_mul(gamma, np.array([1, x_i], dtype=np.int32))
+    if f:
+        # modified syndromes T = S*Gamma mod x^32; BM on T_f..T_31 finds the
+        # locator of the remaining (non-erased) errors
+        t = _poly_mul(s.astype(np.int32), gamma)[:NSYM]
+        sigma, l = _berlekamp_massey(t[f:])
+    else:
+        sigma, l = _berlekamp_massey(s)
+    psi = _poly_mul(sigma, gamma) if f else sigma  # combined locator
     # Chien search over the shortened length
     positions = []
     for i in range(n):
         # candidate position i (0 = first byte); root test at alpha^{-(n-1-i)}
         xinv = _gf_pow(2, (255 - (n - 1 - i)) % 255)
-        if _poly_eval(sigma, xinv) == 0:
+        if _poly_eval(psi, xinv) == 0:
             positions.append(i)
-    if len(positions) != l:
+    if len(positions) != l + f:
         raise ValueError("RS decode failure: uncorrectable error pattern")
-    # error evaluator Omega = (S(x) * sigma(x)) mod x^32
-    s_poly = s.astype(np.int32)
-    omega = np.zeros(NSYM, dtype=np.int32)
-    for i in range(len(sigma)):
-        for j in range(len(s_poly)):
-            if i + j < NSYM:
-                omega[i + j] ^= int(_gf_mul(sigma[i], s_poly[j]))
-    # Forney: e_i = Omega(Xi^-1) / sigma'(Xi^-1)
-    sigma_deriv = sigma[1::2]  # odd-power coefficients (formal derivative, GF(2))
+    # error evaluator Omega = (S(x) * psi(x)) mod x^32
+    omega = _poly_mul(psi, s.astype(np.int32))[:NSYM]
+    # Forney: e_i = X_i * Omega(Xi^-1) / psi'(Xi^-1)
+    sigma_deriv = psi[1::2]  # odd-power coefficients (formal derivative, GF(2))
     for i in positions:
         xinv = _gf_pow(2, (255 - (n - 1 - i)) % 255)
         num = _poly_eval(omega, xinv)
@@ -252,10 +285,12 @@ def rs_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def rs_decode(coded: bytes) -> tuple[bytes, int]:
+def rs_decode(coded: bytes, erasures: "np.ndarray | None" = None) -> tuple[bytes, int]:
     """Decode concatenated codewords -> (data, total_corrected).
 
-    Inverse of rs_encode; accepts a trailing shortened codeword.
+    Inverse of rs_encode; accepts a trailing shortened codeword. ``erasures``
+    is an optional bool array aligned with ``coded`` marking unreliable
+    bytes (errors-and-erasures decoding, see decode_block).
     """
     out = bytearray()
     corrected = 0
@@ -266,7 +301,10 @@ def rs_decode(coded: bytes) -> tuple[bytes, int]:
         if n <= NSYM:
             raise ValueError("RS decode failure: truncated codeword")
         cw = np.frombuffer(coded[off : off + n], dtype=np.uint8)
-        msg, c = decode_block(cw, n)
+        ers: tuple[int, ...] = ()
+        if erasures is not None:
+            ers = tuple(int(i) for i in np.nonzero(erasures[off : off + n])[0])
+        msg, c = decode_block(cw, n, erasures=ers)
         out += msg.tobytes()
         corrected += c
         off += n

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audio_modem_tpu import framing, native, sync
+from audio_modem_tpu import decoder, framing, native, sync
 from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
 from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames
@@ -243,14 +243,29 @@ class BatchReceiver:
                 batch_decode_chunk_frames(jnp.asarray(frames), self.mode, n_sym)
             )
             for row, i in ok_members:
-                self._route(self.streams[i], bits[row], n_sym)
+                self._route(self.streams[i], bits[row], n_sym, frames[row])
         return True
 
-    def _route(self, s: _Stream, bits: np.ndarray, n_sym: int) -> None:
+    def _route(
+        self, s: _Stream, bits: np.ndarray, n_sym: int, frame: np.ndarray | None = None
+    ) -> None:
         b = bits[: n_sym * self.mode.bits_per_symbol]
         if self.mode.repetition > 1:
             b = majority_vote(b, self.mode.repetition)
-        result = framing.parse_payload_bytes(bits_to_bytes(b), min_len=6)
+        by = bits_to_bytes(b)
+        result = framing.parse_payload_bytes(by, min_len=6)
+        if (
+            frame is not None
+            and isinstance(result, framing.FrameError)
+            and result.error.startswith("FEC decode failed")
+        ):
+            # errors-and-erasures retry (see decoder.decode_chunk_frame)
+            evm = np.asarray(decoder._chunk_evm_core(jnp.asarray(frame), self.mode, n_sym))
+            flags = decoder._byte_erasures(evm, self.mode, decoder._fec_region_bytes(by))
+            if flags is not None:
+                retry = framing.parse_payload_bytes(by, min_len=6, erasures=flags)
+                if not isinstance(retry, framing.FrameError):
+                    result = retry
         resume_pos = None
         if isinstance(result, framing.FrameError):
             s.stats.frame_errors += 1

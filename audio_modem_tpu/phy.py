@@ -282,16 +282,18 @@ def channel_magnitude(ch_re: jnp.ndarray, ch_im: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(ch_re * ch_re + ch_im * ch_im)
 
 
-def error_vector_magnitude(
+def symbol_evm(
     symbols: jnp.ndarray,
     ch_re: jnp.ndarray,
     ch_im: jnp.ndarray,
     mode: ModemMode,
 ) -> jnp.ndarray:
-    """RMS error-vector magnitude of the equalized data constellation,
-    normalized to unit reference power (SURVEY §5 metrics gap-fill; the
-    reference never measures EVM). Same pipeline as demodulate() up to the
-    decision, then distance from the decided (re-mapped) points."""
+    """Per-symbol error-vector magnitude [..., n_sym] of the equalized data
+    constellation, normalized to unit reference power. Same pipeline as
+    demodulate() up to the decision, then RMS distance from the decided
+    (re-mapped) points. A symbol hit by a dropout/burst reads ~1.0 where
+    clean symbols read the channel's noise level — the confidence signal
+    that drives erasure-aware RS decoding (decoder._erasure_flags)."""
     bits = demodulate(symbols, ch_re, ch_im, mode)
     dec_re, dec_im = con.map_bits(mode.constellation, bits.reshape(*symbols.shape[:-1], -1))
 
@@ -312,4 +314,16 @@ def error_vector_magnitude(
     cr = dr + di * phi
     ci = di - dr * phi
     err = (cr - dec_re) ** 2 + (ci - dec_im) ** 2
-    return jnp.sqrt(err.mean(axis=(-2, -1)))
+    return jnp.sqrt(err.mean(axis=-1))
+
+
+def error_vector_magnitude(
+    symbols: jnp.ndarray,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+    mode: ModemMode,
+) -> jnp.ndarray:
+    """RMS error-vector magnitude over all data symbols (SURVEY §5 metrics
+    gap-fill; the reference never measures EVM)."""
+    per_sym = symbol_evm(symbols, ch_re, ch_im, mode)
+    return jnp.sqrt((per_sym * per_sym).mean(axis=-1))

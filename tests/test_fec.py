@@ -127,3 +127,113 @@ class TestInterleaving:
         assert isinstance(res, framing.LegacyFrame), getattr(res, "error", res)
         assert res.crc_valid and res.data == data
         assert res.fec_corrected == 40
+
+
+class TestErasures:
+    """Errors-and-erasures decoding: known-unreliable positions double the
+    correction radius (2e + f <= 32 per codeword vs e <= 16)."""
+
+    def test_erasures_only_full_capacity(self):
+        rng = np.random.default_rng(23)
+        data = rng.bytes(223)
+        coded = bytearray(rs.rs_encode(data))
+        pos = rng.choice(255, 32, replace=False)
+        for p in pos:
+            coded[p] ^= int(rng.integers(1, 256))
+        flags = np.zeros(255, bool)
+        flags[pos] = True
+        dec, c = rs.rs_decode(bytes(coded), erasures=flags)
+        assert dec == data and c == 32
+
+    def test_mixed_errors_and_erasures(self):
+        rng = np.random.default_rng(29)
+        data = rng.bytes(223)
+        for f, e in [(30, 1), (20, 6), (10, 11), (0, 16)]:
+            coded = bytearray(rs.rs_encode(data))
+            pos = rng.choice(255, f + e, replace=False)
+            for p in pos:
+                coded[p] ^= int(rng.integers(1, 256))
+            flags = np.zeros(255, bool)
+            flags[pos[:f]] = True  # only the erasures are known
+            dec, c = rs.rs_decode(bytes(coded), erasures=flags)
+            assert dec == data and c == f + e
+
+    def test_beyond_capacity_raises(self):
+        rng = np.random.default_rng(31)
+        data = rng.bytes(223)
+        coded = bytearray(rs.rs_encode(data))
+        pos = rng.choice(255, 40, replace=False)
+        for p in pos:
+            coded[p] ^= int(rng.integers(1, 256))
+        flags = np.zeros(255, bool)
+        flags[pos[:20]] = True  # 20 erasures + 20 errors: 2e+f = 60 > 32
+        with pytest.raises(ValueError):
+            rs.rs_decode(bytes(coded), erasures=flags)
+
+    def test_false_erasure_hints_harmless_on_clean_codeword(self):
+        data = np.random.default_rng(37).bytes(223)
+        coded = rs.rs_encode(data)
+        flags = np.zeros(255, bool)
+        flags[:10] = True
+        dec, c = rs.rs_decode(coded, erasures=flags)
+        assert dec == data and c == 0
+
+    def test_burst_dropout_rescued_by_evm_erasures(self):
+        """A 3-symbol dropout on BPSK-ACOUSTIC corrupts 24 consecutive
+        payload bytes — beyond the 16-error radius of the single codeword,
+        so errors-only FEC fails; the decoder's EVM-driven erasure retry
+        (decoder._byte_erasures) recovers the frame. The reference cannot
+        decode this signal at all (CRC-only)."""
+        from audio_modem_tpu import decoder
+
+        mode = MODES["BPSK-ACOUSTIC"]
+        rng = np.random.default_rng(41)
+        payload = rng.bytes(150)
+        sig = np.asarray(framing.build_transmit_signal(payload, mode, "e.bin", fec=True))
+        res, info = decoder.decode_signal(sig, mode)
+        assert not isinstance(res, framing.FrameError)
+
+        sym = mode.profile.symbol_len
+        s0 = info.preamble_idx + 3 * sym + 5 * sym
+        bad = sig.copy()
+        bad[s0 : s0 + 3 * sym] = 0.0
+        res2, _ = decoder.decode_signal(bad, mode)
+        assert not isinstance(res2, framing.FrameError), res2
+        assert res2.data == payload
+        assert res2.fec_corrected == 24
+
+        # noise burst (not just silence) is caught the same way
+        bad = sig.copy()
+        bad[s0 : s0 + 3 * sym] = rng.normal(0, 0.3, 3 * sym).astype(np.float32)
+        res3, _ = decoder.decode_signal(bad, mode)
+        assert not isinstance(res3, framing.FrameError), res3
+        assert res3.data == payload
+
+        # 5 dropped symbols = 40 bytes > 32: cleanly uncorrectable
+        bad = sig.copy()
+        bad[s0 : s0 + 5 * sym] = 0.0
+        res4, _ = decoder.decode_signal(bad, mode)
+        assert isinstance(res4, framing.FrameError)
+
+    def test_streaming_chunk_dropout_rescued(self):
+        """Same rescue through the streaming receiver's chunk-frame path."""
+        from audio_modem_tpu.runtime.receiver import StreamingReceiver
+
+        mode = MODES["BPSK-ACOUSTIC"]
+        rng = np.random.default_rng(43)
+        data = rng.bytes(mode.chunk_size + 100)
+        frames = list(api.encode_chunked(data, mode, "s.bin", fec=True))
+        sig = np.concatenate(frames)
+        # drop 3 symbols inside the SECOND data frame's payload region
+        sym = mode.profile.symbol_len
+        p = mode.profile
+        off = len(frames[0]) + len(frames[1]) + p.silence_pre_chunk(False) + 8 * sym
+        sig = sig.copy()
+        sig[off : off + 3 * sym] = 0.0
+        rx = StreamingReceiver(mode, fec=True)
+        for i in range(0, len(sig), 4096):
+            rx.process_audio_block(sig[i : i + 4096])
+        rx.flush()
+        assert rx.assembler.is_complete
+        assert rx.assembler.assemble() == data
+        rx.cleanup()
