@@ -60,9 +60,12 @@ def _core_dispatch(
     decision-identical (tests/test_kernels.py)."""
     from audio_modem_tpu.kernels import kernels_enabled
 
-    if kernels_enabled():
-        from audio_modem_tpu.kernels.receive import decode_fused
+    use_kernel = kernels_enabled()
+    if use_kernel:
+        from audio_modem_tpu.kernels.receive import decode_fused, fused_receive_fits
 
+        use_kernel = fused_receive_fits(signal.shape[-1], mode, max_syms)
+    if use_kernel:
         out = decode_fused(
             signal[None],
             jnp.asarray([n_valid], jnp.int32),

@@ -224,6 +224,45 @@ def _eq_demap_pack(
     return words
 
 
+_FUSED_VMEM_BUDGET = 32 * 1024 * 1024
+
+
+def fused_receive_fits(t: int, mode: ModemMode, max_syms: int) -> bool:
+    """VMEM-footprint gate for decode_fused: the kernel keeps THREE
+    frame-sized float32 buffers per 8-stream tile resident (raw signal
+    block, preprocessed scratch, re-aligned scratch), so its footprint
+    grows as ~96 bytes/sample. Beyond a few hundred k samples/frame that
+    approaches the per-core VMEM ceiling and the Mosaic compile time blows
+    up (observed: a 500k-sample narrowband frame compiles >20 min through
+    the remote relay; a 173k acoustic frame compiles in seconds). Callers
+    route frames that don't fit to the XLA pipeline — decision-identical,
+    and HBM-resident so length-insensitive (e.g. the ~7.3M-sample 32 KB
+    legacy frame, BASELINE config 2)."""
+    profile = mode.profile
+    sym = profile.symbol_len
+    g_syms = _group_syms(sym, max_syms)
+    syms_padded = -(-max_syms // g_syms) * g_syms
+    l_al = _round_up((3 + syms_padded) * sym + profile.cp_len, _LANE)
+    t_pad = _round_up(t, _LANE) + l_al + _LANE
+    frame_bytes = 4 * _ROWS * (t + t_pad + l_al)
+    words_bytes = 4 * _ROWS * syms_padded * _LANE
+    body_bytes = 4 * _ROWS * g_syms * profile.fft_size
+    return frame_bytes + words_bytes + body_bytes <= _FUSED_VMEM_BUDGET
+
+
+def fused_chunks_fits(t: int, mode: ModemMode, n_sym: int) -> bool:
+    """Same gate for the frame-aligned chunk kernel (one frame-sized
+    block + demod scratch per tile)."""
+    profile = mode.profile
+    need = (3 + n_sym) * profile.symbol_len + profile.cp_len
+    t_pad = _round_up(max(t, need), _LANE)
+    g_syms = _group_syms(profile.symbol_len, n_sym)
+    return (
+        4 * _ROWS * (t_pad + n_sym * _LANE) + 4 * _ROWS * g_syms * profile.fft_size
+        <= _FUSED_VMEM_BUDGET
+    )
+
+
 def _receive_kernel(
     nv_ref, minpos_ref, sig_ref, bank_ref, rx_ref, kn_ref, pack_ref,
     start_ref, fine_ref, coarse_ref, cmetric_ref, ch_ref, words_ref,

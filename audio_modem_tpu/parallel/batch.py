@@ -33,9 +33,10 @@ def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) 
     from audio_modem_tpu.kernels import kernels_enabled
 
     if kernels_enabled():
-        from audio_modem_tpu.kernels.receive import decode_chunks_fused
+        from audio_modem_tpu.kernels.receive import decode_chunks_fused, fused_chunks_fits
 
-        return decode_chunks_fused(frames, mode, n_sym)
+        if fused_chunks_fits(frames.shape[-1], mode, n_sym):
+            return decode_chunks_fused(frames, mode, n_sym)
     return _batch_decode_chunk_frames_xla(frames, mode, n_sym)
 
 
@@ -88,11 +89,12 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
     from audio_modem_tpu.kernels import kernels_enabled
 
     if kernels_enabled():
-        from audio_modem_tpu.kernels.receive import decode_fused
+        from audio_modem_tpu.kernels.receive import decode_fused, fused_receive_fits
 
-        return decode_fused(
-            signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32), mode, max_syms
-        )
+        if fused_receive_fits(signals.shape[-1], mode, max_syms):
+            return decode_fused(
+                signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32), mode, max_syms
+            )
     return _batch_decode_signals_xla(signals, n_valid, mode, max_syms)
 
 

@@ -1,6 +1,6 @@
 """Benchmark: batched streaming-demod throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout):
   metric       demod Msamples/s/chip on the full receive pipeline
                (preprocess + Schmidl-Cox detect + xcorr refine + CE + EQ +
                demap) over a 64-stream batch of QPSK chunk frames
@@ -8,25 +8,41 @@ Prints ONE JSON line:
                1000x real-time demodulation per chip at 44.1 kHz
                (the reference JS processes ~1x real time per core)
 
-Extra context (frame demod-only throughput, frames/s, detect p50 latency,
-payload correctness) goes in "details".
+Extra context (512-stream scale point, frame demod-only throughput,
+encode throughput, per-mode matrix, frames/s, detect p50 latency) goes in
+"details" — each stage is optional and budget-gated so the headline ALWAYS
+prints: first jit compiles go through a remote relay at 20-100 s each, and
+a full cold run can exceed an outer timeout. Progress goes to stderr.
+Budget via AMT_BENCH_BUDGET_S (default 1500 s).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+BUDGET = float(os.environ.get("AMT_BENCH_BUDGET_S", "1500"))
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def left() -> float:
+    return BUDGET - (time.time() - T0)
 
 
 def main() -> None:
     import jax
 
-    # Persistent compilation cache: the per-mode matrix compiles ~10 fresh
-    # executables and every fresh compile goes through the remote relay
-    # (20-100 s each); caching makes reruns (and the driver's round-end
-    # bench) take seconds instead of ~25 minutes.
+    # Persistent compilation cache: every fresh compile goes through the
+    # remote-compile relay (20-100 s); caching makes reruns (and the
+    # driver's round-end bench) take seconds instead of tens of minutes.
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_amt_bench")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -50,8 +66,14 @@ def main() -> None:
     sym = p.symbol_len
     chunk_size = mode.chunk_size  # 2048
     n_streams = 64
+    iters = 10
+    details: dict = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+    skipped: list[str] = []
 
-    # one frame per stream, distinct payloads
+    log(f"building {n_streams} QPSK frames")
     rng = np.random.default_rng(0)
     frames = [
         framing.build_data_chunk_frame(rng.bytes(chunk_size), seq, mode)
@@ -66,7 +88,8 @@ def main() -> None:
     sig_dev = jax.device_put(jnp.asarray(signals))
     nv_dev = jax.device_put(jnp.asarray(n_valid))
 
-    # ---- full pipeline (detect + refine + demod) ----
+    # ---- headline: full pipeline (detect + refine + demod), 64 streams ----
+    log("compiling full pipeline (64 streams)")
     full = jax.jit(lambda s, nv: batch_decode_signals(s, nv, mode, max_syms))
     out = jax.block_until_ready(full(sig_dev, nv_dev))  # compile + warm
     assert bool(np.asarray(out["detected"]).all()), "bench decode failed detection"
@@ -78,118 +101,171 @@ def main() -> None:
     parsed = parse_payload_bytes(bits_to_bytes(bits0))
     assert isinstance(parsed, DataFrame) and parsed.crc_valid, "bench payload corrupt"
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = full(sig_dev, nv_dev)
-    jax.block_until_ready(out)
-    dt_full = time.perf_counter() - t0
-    total_samples = int(n_valid.sum()) * iters
-    msps_full = total_samples / dt_full / 1e6
-
-    # ---- frame-aligned demod only (post-sync path) ----
-    aligned = np.stack([f[p.silence_pre_chunk(False) :][: (3 + n_payload_sym) * sym] for f in frames])
-    aligned_dev = jax.device_put(jnp.asarray(aligned))
-    demod = jax.jit(lambda f: batch_decode_chunk_frames(f, mode, n_payload_sym))
-    jax.block_until_ready(demod(aligned_dev))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        bits = demod(aligned_dev)
-    jax.block_until_ready(bits)
-    dt_demod = time.perf_counter() - t0
-    msps_demod = aligned.size * iters / dt_demod / 1e6
-    frames_per_sec = n_streams * iters / dt_full
-
-    # ---- detect-only p50 latency (one stream window) ----
-    from audio_modem_tpu import sync
-
-    # ---- encode-side throughput (batched modulate + frame synthesis) ----
-    from audio_modem_tpu import phy
-    from audio_modem_tpu.framing import payload_to_bits, build_data_chunk_payload
-
-    bits_one = payload_to_bits(build_data_chunk_payload(rng.bytes(chunk_size), 0), mode)
-    bits_batch = jax.device_put(jnp.asarray(np.tile(bits_one, (n_streams, 1))))
-    enc = jax.jit(lambda b: phy.modulate(b, mode))
-    jax.block_until_ready(enc(bits_batch))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        enc_out = enc(bits_batch)
-    jax.block_until_ready(enc_out)
-    dt_enc = time.perf_counter() - t0
-    enc_msps = n_streams * n_payload_sym * sym * iters / dt_enc / 1e6
-
-    # ---- per-mode full-pipeline Msps (all profiles x constellations) ----
-    # Catches regressions in acoustic/narrowband matmul shapes (CP 128/256)
-    # and the 16/64-QAM demap cost that the QPSK headline can't see.
-    per_mode = {}
-    for mode_name in ("QPSK", "16-QAM", "64-QAM", "BPSK-ACOUSTIC", "BPSK-NARROW"):
-        m = MODES[mode_name]
-        msym = m.profile.symbol_len
-        payload = 512 if "BPSK" in mode_name else m.chunk_size
-        mframes = [
-            framing.build_data_chunk_frame(rng.bytes(payload), seq, m) for seq in range(8)
-        ] * 8
-        msignals, mnv = pad_signals(mframes)
-        mmax_syms = max((msignals.shape[1] - 3 * msym) // msym, 1)
-        ms_dev = jax.device_put(jnp.asarray(msignals))
-        mnv_dev = jax.device_put(jnp.asarray(mnv))
-        mfull = jax.jit(lambda s, nv, m=m, k=mmax_syms: batch_decode_signals(s, nv, m, k))
-        mout = jax.block_until_ready(mfull(ms_dev, mnv_dev)["detected"])
-        assert bool(np.asarray(mout).all()), f"{mode_name} bench decode failed detection"
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            mo = mfull(ms_dev, mnv_dev)
-        jax.block_until_ready(mo["bits"])
-        per_mode[mode_name] = round(int(mnv.sum()) * iters / (time.perf_counter() - t0) / 1e6, 1)
-
-    # Pipelined per-call time at depth 10: a single blocking call through the
-    # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
-    # not; pipelining amortizes it and reflects the device-side cost.
-    one = jax.jit(lambda s, nv: sync.detect_preamble(s, p, nv))
-    s1, nv1 = sig_dev[0], nv_dev[0]
-    jax.block_until_ready(one(s1, nv1))
-    lats = []
+    log("timing full pipeline")
+    # best of 5 reps: the first pipelined loop after a fresh compile can
+    # carry remote-relay/tunnel warmup latency (observed 2-3x slow), and
+    # tunnel RTT jitter adds run-to-run variance on top
+    dt_full = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = [one(s1, nv1) for _ in range(10)]
-        jax.block_until_ready(outs)
-        lats.append((time.perf_counter() - t0) / 10)
-    p50_detect_ms = float(np.median(lats) * 1e3)
+        for _ in range(iters):
+            out = full(sig_dev, nv_dev)
+        jax.block_until_ready(out)
+        dt_full = min(dt_full, time.perf_counter() - t0)
+    total_samples = int(n_valid.sum()) * iters
+    msps_full = total_samples / dt_full / 1e6
+    details["frames_per_sec"] = round(n_streams * iters / dt_full, 1)
+    log(f"headline: {msps_full:.1f} Msps")
+
+    def emit() -> None:
+        realtime_x = msps_full * 1e6 / 44100.0
+        details["realtime_streams_per_chip"] = round(realtime_x, 0)
+        if skipped:
+            details["skipped_stages"] = skipped
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming demod Msamples/s/chip (64-stream QPSK, full pipeline)",
+                    "value": round(msps_full, 2),
+                    "unit": "Msamples/s",
+                    "vs_baseline": round(msps_full / 44.1, 3),
+                    "details": details,
+                }
+            ),
+            flush=True,
+        )
+
+    def stage(name: str, min_left_s: float):
+        """Budget gate: run the stage if time remains, else record a skip."""
+
+        def deco(fn):
+            if left() < min_left_s:
+                log(f"SKIP {name} (budget: {left():.0f}s left)")
+                skipped.append(name)
+                return
+            log(f"stage {name} (budget: {left():.0f}s left)")
+            try:
+                fn()
+            except Exception as e:  # a failed detail must not kill the headline
+                log(f"stage {name} FAILED: {e}")
+                skipped.append(name)
+
+        return deco
 
     # ---- 512-stream scale point (amortizes tunnel dispatch, shows the
     # device's real ceiling) ----
-    sig512 = jax.device_put(jnp.tile(jnp.asarray(signals), (8, 1)))
-    nv512 = jax.device_put(jnp.tile(jnp.asarray(n_valid), (8,)))
-    full512 = jax.jit(lambda s, nv: batch_decode_signals(s, nv, mode, max_syms))
-    jax.block_until_ready(full512(sig512, nv512))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out512 = full512(sig512, nv512)
-    jax.block_until_ready(out512)
-    msps_512 = sig512.size * iters / (time.perf_counter() - t0) / 1e6
+    @stage("batch512", 150.0)
+    def _():
+        sig512 = jax.device_put(jnp.tile(jnp.asarray(signals), (8, 1)))
+        nv512 = jax.device_put(jnp.tile(jnp.asarray(n_valid), (8,)))
+        full512 = jax.jit(lambda s, nv: batch_decode_signals(s, nv, mode, max_syms))
+        jax.block_until_ready(full512(sig512, nv512))
+        dt = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out512 = full512(sig512, nv512)
+            jax.block_until_ready(out512)
+            dt = min(dt, time.perf_counter() - t0)
+        msps_512 = sig512.size * iters / dt / 1e6
+        details["batch512_full_pipeline_msps"] = round(msps_512, 2)
+        details["batch512_realtime_streams"] = round(msps_512 * 1e6 / 44100.0, 0)
 
-    realtime_x = msps_full * 1e6 / 44100.0
-    print(
-        json.dumps(
-            {
-                "metric": "streaming demod Msamples/s/chip (64-stream QPSK, full pipeline)",
-                "value": round(msps_full, 2),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msps_full / 44.1, 3),
-                "details": {
-                    "realtime_streams_per_chip": round(realtime_x, 0),
-                    "batch512_full_pipeline_msps": round(msps_512, 2),
-                    "batch512_realtime_streams": round(msps_512 * 1e6 / 44100.0, 0),
-                    "frame_demod_only_msps": round(msps_demod, 2),
-                    "encode_modulate_msps": round(enc_msps, 2),
-                    "frames_per_sec": round(frames_per_sec, 1),
-                    "p50_detect_latency_ms": round(p50_detect_ms, 3),
-                    "platform": jax.devices()[0].platform,
-                    "device": str(jax.devices()[0]),
-                },
-            }
+    # ---- frame-aligned demod only (post-sync path) ----
+    @stage("frame_demod", 120.0)
+    def _():
+        aligned = np.stack(
+            [f[p.silence_pre_chunk(False) :][: (3 + n_payload_sym) * sym] for f in frames]
         )
-    )
+        aligned_dev = jax.device_put(jnp.asarray(aligned))
+        demod = jax.jit(lambda f: batch_decode_chunk_frames(f, mode, n_payload_sym))
+        jax.block_until_ready(demod(aligned_dev))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            bits = demod(aligned_dev)
+        jax.block_until_ready(bits)
+        details["frame_demod_only_msps"] = round(
+            aligned.size * iters / (time.perf_counter() - t0) / 1e6, 2
+        )
+
+    # ---- encode-side throughput (fused TX contraction) ----
+    @stage("encode", 120.0)
+    def _():
+        from audio_modem_tpu import phy
+        from audio_modem_tpu.framing import payload_to_bits, build_data_chunk_payload
+
+        bits_one = payload_to_bits(build_data_chunk_payload(rng.bytes(chunk_size), 0), mode)
+        bits_batch = jax.device_put(jnp.asarray(np.tile(bits_one, (n_streams, 1))))
+        enc = jax.jit(lambda b: phy.modulate(b, mode))
+        jax.block_until_ready(enc(bits_batch))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            enc_out = enc(bits_batch)
+        jax.block_until_ready(enc_out)
+        details["encode_modulate_msps"] = round(
+            n_streams * n_payload_sym * sym * iters / (time.perf_counter() - t0) / 1e6, 2
+        )
+
+    # ---- detect-only p50 latency (one stream window) ----
+    # Pipelined per-call time at depth 10: a single blocking call through the
+    # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
+    # not; pipelining amortizes it and reflects the device-side cost.
+    @stage("detect_latency", 120.0)
+    def _():
+        from audio_modem_tpu import sync
+
+        one = jax.jit(lambda s, nv: sync.detect_preamble(s, p, nv))
+        s1, nv1 = sig_dev[0], nv_dev[0]
+        jax.block_until_ready(one(s1, nv1))
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs = [one(s1, nv1) for _ in range(10)]
+            jax.block_until_ready(outs)
+            lats.append((time.perf_counter() - t0) / 10)
+        details["p50_detect_latency_ms"] = round(float(np.median(lats) * 1e3), 3)
+
+    # ---- per-mode full-pipeline Msps (all profiles x constellations) ----
+    # Catches regressions in acoustic/narrowband matmul shapes (CP 128/256)
+    # and the 16/64-QAM demap cost that the QPSK headline can't see. Each
+    # mode is its own budget-gated stage (a cold compile costs minutes).
+    per_mode: dict = {}
+    for mode_name in ("QPSK", "16-QAM", "64-QAM", "BPSK-ACOUSTIC", "BPSK-NARROW"):
+
+        @stage(f"mode:{mode_name}", 200.0)
+        def _(mode_name=mode_name):
+            m = MODES[mode_name]
+            msym = m.profile.symbol_len
+            # narrowband at x3 repetition: 512 B is a ~500k-sample frame,
+            # past the fused kernel's VMEM gate; 128 B (~170k samples, like
+            # acoustic at 512 B) keeps the stage on the kernel path and the
+            # cold compile bounded
+            payload = (
+                128 if mode_name == "BPSK-NARROW" else 512 if "BPSK" in mode_name else m.chunk_size
+            )
+            mframes = [
+                framing.build_data_chunk_frame(rng.bytes(payload), seq, m) for seq in range(8)
+            ] * 8
+            msignals, mnv = pad_signals(mframes)
+            mmax_syms = max((msignals.shape[1] - 3 * msym) // msym, 1)
+            ms_dev = jax.device_put(jnp.asarray(msignals))
+            mnv_dev = jax.device_put(jnp.asarray(mnv))
+            mfull = jax.jit(lambda s, nv, m=m, k=mmax_syms: batch_decode_signals(s, nv, m, k))
+            mout = jax.block_until_ready(mfull(ms_dev, mnv_dev)["detected"])
+            assert bool(np.asarray(mout).all()), f"{mode_name} bench decode failed detection"
+            dt = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    mo = mfull(ms_dev, mnv_dev)
+                jax.block_until_ready(mo["bits"])
+                dt = min(dt, time.perf_counter() - t0)
+            per_mode[mode_name] = round(int(mnv.sum()) * iters / dt / 1e6, 1)
+
+    if per_mode:
+        details["per_mode_msps"] = per_mode
+    emit()
+    log("done")
 
 
 if __name__ == "__main__":

@@ -154,6 +154,35 @@ class TestFusedReceive:
             out = np.asarray(decode_chunks_fused(frames, mode, n_sym, interpret=True))
             assert np.array_equal(ref, out), name
 
+    def test_vmem_gate_routes_long_frames_to_xla(self, monkeypatch):
+        """fused_receive_fits rejects frames whose VMEM footprint would blow
+        the Mosaic compile (observed: ~500k-sample narrowband frames), and
+        the dispatchers then fall back to the XLA path even with kernels
+        forced on — so a legacy 32 KB frame (~7.3M samples) can never reach
+        pallas_call."""
+        from audio_modem_tpu.kernels.receive import fused_chunks_fits, fused_receive_fits
+        from audio_modem_tpu.parallel import batch
+
+        qpsk = MODES["QPSK"]
+        narrow = MODES["BPSK-NARROW"]
+        # bench/streaming shapes fit
+        assert fused_receive_fits(28544, qpsk, 46)
+        assert fused_receive_fits(180_000, MODES["BPSK-ACOUSTIC"], 208)
+        # 512 B narrowband (~500k samples / ~590 syms) and the legacy 32 KB
+        # frame (~7.3M samples) must not
+        assert not fused_receive_fits(500_000, narrow, 590)
+        assert not fused_receive_fits(7_300_000, narrow, 9300)
+        assert fused_chunks_fits(30_000, qpsk, 46)
+        assert not fused_chunks_fits(7_300_000, narrow, 9300)
+
+        # dispatch falls back to XLA (this would crash on CPU if the
+        # non-interpret pallas path were taken with kernels forced on)
+        monkeypatch.setenv("AMT_KERNELS", "1")
+        signals, n_valid, max_syms = self._signals(narrow, n=2, payload=64)
+        long = jnp.pad(signals, ((0, 0), (0, 600_000 - signals.shape[1])))
+        out = batch.batch_decode_signals(long, n_valid, narrow, max_syms)
+        assert np.asarray(out["detected"]).all()
+
     def test_bit_packing_roundtrip(self):
         """The 16-bit pack matrices invert exactly through the unpack
         epilogue for every constellation geometry."""
