@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from audio_modem_tpu.configs import ModemMode, OfdmProfile
 from audio_modem_tpu.ops.constellations import CONSTELLATIONS
-from audio_modem_tpu.ops.dft import _rx_matrix_for_bins
+from audio_modem_tpu.ops.dft import _rx_matrix_for_bins, dot_bf16x3
 from audio_modem_tpu.sync import (
     AUTOCORR_MIN_ENERGY,
     AUTOCORR_THRESHOLD,
@@ -64,6 +64,32 @@ _ROWS = 8
 _HALF = 256
 _LANE = 128
 _HI = jax.lax.Precision.HIGHEST
+_SCAN_CHUNK = COARSE_STRIDE * _LANE  # 2048 scan positions per matmul row
+
+
+def _dot_exact3(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """f32-exact selection matmul in three 1-pass bf16 MXU products.
+
+    Requires every element of ``m`` to be exactly bf16-representable ({0,1}
+    one-hot / window masks here). x splits exactly into three bf16 parts
+    (8+8+8 >= 24 mantissa bits): each pass selects/sums one part with f32
+    accumulation, and the final sum reconstructs the full-precision result.
+    For one-nonzero-per-column selection matrices this is BIT-EXACT (no
+    accumulation at all); for window masks it is f32-accurate with only
+    benign ordering differences. Half the passes of Precision.HIGHEST."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(hi, m) + d(mid, m) + d(lo, m)
+
+
+def _rx_t_pad(t: int, l_al: int) -> int:
+    """Preprocessed-scratch length: covers the re-align loads
+    (t + l_al + 128) AND the scan's chunk-padded slices (l2 + 2 chunks)."""
+    l2 = _round_up(_round_up(t, _LANE), _SCAN_CHUNK)
+    return max(_round_up(t, _LANE) + l_al + _LANE, l2 + 2 * _SCAN_CHUNK)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -190,22 +216,62 @@ def _group_syms(sym: int, n_sym: int) -> int:
     return g
 
 
+def _tile_rows(x: jnp.ndarray, reps: int) -> jnp.ndarray:
+    """[8, n] -> [8*reps, n], repeating the 8-row block (row r takes source
+    row r % 8) via an exact {0,1} one-hot matmul — the Mosaic-legal way to
+    tile across sublanes (concat/pad at sublane offsets is rejected)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * reps, _ROWS), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * reps, _ROWS), 1)
+    sel = (r % _ROWS == c).astype(jnp.float32)
+    return _dot_exact3(sel, x)
+
+
+def _tiled_channel(ch: jnp.ndarray, reps: int, nd_pad: int, np_pad: int):
+    """Tile the [8, SECT] channel estimate to [8*reps, *] row blocks and
+    pre-divide conj(H) by |H|^2 ONCE PER FRAME, so EQ + demap + pack run
+    once per G-symbol group on full [8G, n] tiles (G=16 -> 128 rows = the
+    native MXU/VPU tile height) with no per-group divisions (VPU divide is
+    ~10x a multiply; Y * conj(H)/|H|^2 == Y * Hn with Hn precomputed)."""
+    hd_re = ch[:, :nd_pad]
+    hd_im = ch[:, nd_pad : 2 * nd_pad]
+    hp_re = ch[:, 2 * nd_pad : 2 * nd_pad + np_pad]
+    hp_im = ch[:, 2 * nd_pad + np_pad :]
+    if reps > 1:
+        hd_re = _tile_rows(hd_re, reps)
+        hd_im = _tile_rows(hd_im, reps)
+        hp_re = _tile_rows(hp_re, reps)
+        hp_im = _tile_rows(hp_im, reps)
+    hd_mag = hd_re * hd_re + hd_im * hd_im
+    hp_mag = hp_re * hp_re + hp_im * hp_im
+    hd_ok = hd_mag > 1e-10
+    hp_ok = hp_mag > 1e-10
+    hd_den = jnp.where(hd_ok, hd_mag, 1.0)
+    hp_den = jnp.where(hp_ok, hp_mag, 1.0)
+    return (
+        hd_re / hd_den, hd_im / hd_den, hd_ok,
+        hp_re / hp_den, hp_im / hp_den, hp_ok,
+    )
+
+
 def _eq_demap_pack(
-    spec, hd_re, hd_im, hd_ok, hd_den, hp_re, hp_im, hp_ok, hp_den,
+    spec, hd_re, hd_im, hd_ok, hp_re, hp_im, hp_ok,
     pack, mode: ModemMode, nd_pad: int, np_pad: int,
 ):
-    """One symbol's [8, SECT] spectrum -> packed words [8, 128]: one-tap ZF
-    EQ (modem.js:384-394), pilot small-angle phase (modem.js:397-405), hard
-    demap, 16-bit pack. Pack matmuls run at DEFAULT precision — {0,1} planes
-    times power-of-two weights are exact in a single bf16 pass."""
+    """[R, SECT] spectra (R = 8 streams x G grouped symbols, row k*8+i =
+    stream i / symbol k) -> packed words [R, 128]: one-tap ZF EQ
+    (modem.js:384-394; hd/hp are conj(H)/|H|^2 from _tiled_channel), pilot
+    small-angle phase (modem.js:397-405), hard demap, 16-bit pack. All math
+    is rowwise, so grouping symbols just makes the tiles full-height. Pack
+    matmuls run at DEFAULT precision — {0,1} planes times power-of-two
+    weights are exact in a single bf16 pass."""
     dr0 = spec[:, :nd_pad]
     di0 = spec[:, nd_pad : 2 * nd_pad]
     pr0 = spec[:, 2 * nd_pad : 2 * nd_pad + np_pad]
     pi0 = spec[:, 2 * nd_pad + np_pad :]
-    dr = jnp.where(hd_ok, (dr0 * hd_re + di0 * hd_im) / hd_den, dr0)
-    di = jnp.where(hd_ok, (di0 * hd_re - dr0 * hd_im) / hd_den, di0)
-    pr = jnp.where(hp_ok, (pr0 * hp_re + pi0 * hp_im) / hp_den, pr0)
-    pi = jnp.where(hp_ok, (pi0 * hp_re - pr0 * hp_im) / hp_den, pi0)
+    dr = jnp.where(hd_ok, dr0 * hd_re + di0 * hd_im, dr0)
+    di = jnp.where(hd_ok, di0 * hd_re - dr0 * hd_im, di0)
+    pr = jnp.where(hp_ok, pr0 * hp_re + pi0 * hp_im, pr0)
+    pi = jnp.where(hp_ok, pi0 * hp_re - pr0 * hp_im, pi0)
     usable = jnp.abs(pr) > 1e-6
     ratio = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
     cnt = usable.sum(axis=-1, keepdims=True)
@@ -243,7 +309,7 @@ def fused_receive_fits(t: int, mode: ModemMode, max_syms: int) -> bool:
     g_syms = _group_syms(sym, max_syms)
     syms_padded = -(-max_syms // g_syms) * g_syms
     l_al = _round_up((3 + syms_padded) * sym + profile.cp_len, _LANE)
-    t_pad = _round_up(t, _LANE) + l_al + _LANE
+    t_pad = _rx_t_pad(t, l_al)
     frame_bytes = 4 * _ROWS * (t + t_pad + l_al)
     words_bytes = 4 * _ROWS * syms_padded * _LANE
     body_bytes = 4 * _ROWS * g_syms * profile.fft_size
@@ -254,17 +320,31 @@ def fused_chunks_fits(t: int, mode: ModemMode, n_sym: int) -> bool:
     """Same gate for the frame-aligned chunk kernel (one frame-sized
     block + demod scratch per tile)."""
     profile = mode.profile
-    need = (3 + n_sym) * profile.symbol_len + profile.cp_len
-    t_pad = _round_up(max(t, need), _LANE)
     g_syms = _group_syms(profile.symbol_len, n_sym)
+    syms_padded = -(-n_sym // g_syms) * g_syms
+    need = (3 + syms_padded) * profile.symbol_len + profile.cp_len
+    t_pad = _round_up(max(t, need), _LANE)
     return (
         4 * _ROWS * (t_pad + n_sym * _LANE) + 4 * _ROWS * g_syms * profile.fft_size
         <= _FUSED_VMEM_BUDGET
     )
 
 
+@lru_cache(maxsize=None)
+def _scan_masks() -> tuple[np.ndarray, np.ndarray]:
+    """[2048, 128] window masks for the full-lane strided scan: output
+    column c of a [*, 2048] @ mask product is the 256-wide window starting
+    at position 16*c within the row (M1: in-row part) plus its spill into
+    the next 2048-chunk (M2: columns c >= 112)."""
+    l = np.arange(_SCAN_CHUNK)[:, None]
+    c = np.arange(_LANE)[None, :]
+    m1 = ((l >= COARSE_STRIDE * c) & (l < COARSE_STRIDE * c + _HALF)).astype(np.float32)
+    m2 = (l < COARSE_STRIDE * c + _HALF - _SCAN_CHUNK).astype(np.float32)
+    return m1, m2
+
+
 def _receive_kernel(
-    nv_ref, minpos_ref, sig_ref, bank_ref, rx_ref, kn_ref, pack_ref,
+    nv_ref, minpos_ref, sig_ref, bank_ref, rx_ref, kn_ref, pack_ref, m1_ref, m2_ref,
     start_ref, fine_ref, coarse_ref, cmetric_ref, ch_ref, words_ref,
     pre_ref, al_ref, body_ref,
     *, mode: ModemMode, t_energy: float, max_syms: int, t_pad: int, l_al: int,
@@ -291,47 +371,107 @@ def _receive_kernel(
     pre_ref[:, :t] = s
     pre_ref[:, t:] = jnp.zeros((_ROWS, t_pad - t), jnp.float32)
 
-    # ---- detect: STRIDED Schmidl-Cox via block-sum matmuls ----
-    # The stride-16 window sums come straight out of three [K, 128] @
-    # [128, 8] matmuls per quantity: output (q, j) is the 256-wide window
-    # starting at d = 128q + 16j, assembled from a partial first block
-    # (mask A[l, j] = l >= 16j), a full middle block (a row-sum), and a
-    # partial third block (mask B[l, j] = l < 16j). This is the Mosaic-legal
-    # form of sync._strided_windowed_sum (whose 3-D reshape Mosaic rejects):
-    # 16x less work and 16x smaller intermediates than the dense scan the
-    # round-1 kernels used, with the whole first-peak-commit running on
-    # [K, 8] tiles. Positions and commit semantics match sync.detect_preamble
-    # (stride=16) exactly; float ordering differs immaterially.
+    # ---- detect: STRIDED Schmidl-Cox scan in full-lane [*, 128] layout ----
+    # Window sums at d = 2048*q + 16*c come from [8*r2, 2048] @ [2048, 128]
+    # mask matmuls: N = 128 output lanes, so every VPU/MXU tile runs full,
+    # and the first-peak commit's running-max trees operate on [*, 128]
+    # tiles (the earlier [kq, 8] form burned 16x the tiles on 8-lane
+    # columns). This is the Mosaic-legal form of
+    # sync._strided_windowed_sum (whose 3-D reshape Mosaic rejects);
+    # positions and commit semantics match sync.detect_preamble (stride=16)
+    # exactly, float ordering differs immaterially (window sums run at bf16
+    # precision — see below).
     stride = COARSE_STRIDE
-    la = _round_up(t, _LANE) + 4 * _LANE  # covers t + 512, within t_pad
-    # prod (lag-256 products) is [1, la-256]; its +256-offset slice needs
-    # l1 + 256 <= la - 256, and the +512-offset sq slice needs l1 <= la-512.
-    # Max covered position l1 - 16 >= t - 512 still holds (t - round128(t)
-    # <= 127), so every in-range d <= nv - 512 is evaluated.
-    l1 = la - 4 * _LANE
-    kq = l1 // _LANE
-    blk_l = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
-    blk_j = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
-    mask_a = (blk_l >= stride * blk_j).astype(jnp.float32)  # [128, 8]
-    mask_b = (blk_l < stride * blk_j).astype(jnp.float32)
-
-    def _win256(seg0, seg1, seg2):
-        """Stride-16 256-wide window sums: segs are [1, l1] slices at +0,
-        +128, +256; returns [kq, 8], entry (q, j) = window at 128q + 16j."""
-        b0 = seg0[0].reshape(kq, _LANE)
-        b1 = seg1[0].reshape(kq, _LANE)
-        b2 = seg2[0].reshape(kq, _LANE)
-        full = b1.sum(axis=-1, keepdims=True)
-        return (
-            jnp.dot(b0, mask_a, preferred_element_type=jnp.float32, precision=_HI)
-            + full
-            + jnp.dot(b2, mask_b, preferred_element_type=jnp.float32, precision=_HI)
-        )
-
-    d2d = 128 * jax.lax.broadcasted_iota(jnp.int32, (kq, 8), 0) + stride * jax.lax.broadcasted_iota(
-        jnp.int32, (kq, 8), 1
-    )
+    chunk = _SCAN_CHUNK
+    l2 = _round_up(_round_up(t, _LANE), chunk)  # whole scan chunks; <= t_pad - 2*chunk
+    r2 = l2 // chunk  # scan rows per stream
     big = jnp.int32(t_pad)
+    m1 = m1_ref[...]
+    m2 = m2_ref[...]
+
+    r_sc = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * r2, _LANE), 0)
+    q_blk = r_sc % r2  # scan row within a stream's block
+    not_last = q_blk[:, :1] < r2 - 1
+    nrows = _ROWS * r2
+
+    # Data movement is the scan's real cost, so: TWO aligned ref loads (no
+    # value slicing), window dots at DEFAULT (1-pass bf16) precision — the
+    # metric feeds >0.5/0.7x thresholded commits where 0.4% error moves a
+    # committed coarse index at most a plateau step, always inside the
+    # refine radius — each quantity's next-chunk spill taken from its OWN
+    # in-row product via a one-row roll (b's row r+1 IS the next chunk),
+    # and rb2 (the +256 window) derived from ra2 by a 16-lane shift with
+    # row carry instead of a third window computation. Positions past a
+    # stream's last chunk are invalid by the d <= nv - 512 mask, so the
+    # roll's block-boundary wraparound never reaches a committed metric.
+    x0 = pre_ref[:, pl.ds(0, l2)]  # zeros past t
+    x1 = pre_ref[:, pl.ds(_HALF, l2)]
+    prod_b = (x0 * x1).reshape(nrows, chunk)
+    sq_b = (x0 * x0).reshape(nrows, chunk)
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    def _roll_up(v):
+        return jnp.where(not_last, pltpu.roll(v, nrows - 1, axis=0), 0.0)
+
+    def _win(b):
+        return d(b, m1) + _roll_up(d(b, m2))
+
+    p2_b = _win(prod_b)
+    ra2_b = _win(sq_b)
+    sh = _HALF // stride  # 16 lanes = +256 positions
+    rb2_b = jnp.pad(ra2_b[:, sh:], ((0, 0), (0, sh))) + jnp.pad(
+        _roll_up(ra2_b)[:, :sh], ((0, 0), (_LANE - sh, 0))
+    )
+    d2d = chunk * q_blk[:r2] + stride * jax.lax.broadcasted_iota(
+        jnp.int32, (r2, _LANE), 1
+    )  # block-local positions (identical for every stream block)
+    d2d_b = chunk * q_blk + stride * jax.lax.broadcasted_iota(
+        jnp.int32, (_ROWS * r2, _LANE), 1
+    )
+    # per-stream nv / min_pos as [8*r2, 1] columns via an exact one-hot
+    # matmul (values < 2^24, exact in f32)
+    sel_b = (
+        r_sc[:, :1] // r2 == jax.lax.broadcasted_iota(jnp.int32, (_ROWS * r2, _ROWS), 1)
+    ).astype(jnp.float32)
+    nv_b = _dot_exact3(sel_b, nv.astype(jnp.float32))
+    mp_b = _dot_exact3(sel_b, min_pos.astype(jnp.float32))
+    d2d_f = d2d_b.astype(jnp.float32)
+    valid_b = (
+        (d2d_f <= nv_b - 2 * _HALF)
+        & (d2d_f >= mp_b)
+        & (ra2_b > AUTOCORR_MIN_ENERGY)
+        & (rb2_b > AUTOCORR_MIN_ENERGY)
+    )
+    metric_b = jnp.where(valid_b, (p2_b * p2_b) / jnp.where(valid_b, ra2_b * rb2_b, 1.0), 0.0)
+
+    # first-peak commit in row-major (q, c) order per stream block: lane
+    # prefix-max within rows, then a sublane doubling prefix-max of row
+    # maxima MASKED to stay within each stream's r2-row block. Lane shifts
+    # use pad+slice; sublane shifts use pltpu.roll + iota mask (Mosaic
+    # rejects concat/pad at a sublane offset).
+    rowpref_b = metric_b
+    sh_l = 1
+    while sh_l < _LANE:
+        rowpref_b = jnp.maximum(
+            rowpref_b, jnp.pad(rowpref_b[:, : _LANE - sh_l], ((0, 0), (sh_l, 0)))
+        )
+        sh_l <<= 1
+    rowmax_b = rowpref_b[:, _LANE - 1 : _LANE]  # [8*r2, 1]
+    q_col = q_blk[:, :1]
+
+    def _shift_blk(v, sh):
+        # v[r] <- v[r-sh] within each r2-row block, zeros filling the top
+        # (metrics are >= 0; the mask also kills pltpu.roll's wraparound)
+        rolled = pltpu.roll(v, sh, axis=0)
+        return jnp.where(q_col >= sh, rolled, 0.0)
+
+    rmpref_b = rowmax_b
+    sh_q = 1
+    while sh_q < r2:
+        rmpref_b = jnp.maximum(rmpref_b, _shift_blk(rmpref_b, sh_q))
+        sh_q <<= 1
+    runmax_b = jnp.maximum(rowpref_b, _shift_blk(rmpref_b, 1))
+    drop_b = (runmax_b > AUTOCORR_THRESHOLD) & (metric_b < 0.7 * runmax_b)
 
     # ---- per-row: strided detect + refine + re-align ----
     radius = 3 * cp
@@ -352,51 +492,8 @@ def _receive_kernel(
     coarses = []
     cmetrics = []
     for i in range(_ROWS):
-        row = pre_ref[pl.ds(i, 1), pl.ds(0, la)]  # [1, la]; zeros past t
-        prod = row[:, : la - _HALF] * row[:, _HALF:]  # lag-256 products
-        sq = row * row
-        p2 = _win256(prod[:, :l1], prod[:, _LANE : _LANE + l1], prod[:, 2 * _LANE : 2 * _LANE + l1])
-        ra2 = _win256(sq[:, :l1], sq[:, _LANE : _LANE + l1], sq[:, 2 * _LANE : 2 * _LANE + l1])
-        rb2 = _win256(
-            sq[:, _HALF : _HALF + l1],
-            sq[:, _HALF + _LANE : _HALF + _LANE + l1],
-            sq[:, _HALF + 2 * _LANE : _HALF + 2 * _LANE + l1],
-        )
-        valid = (
-            (d2d <= nv[i, 0] - 2 * _HALF)
-            & (d2d >= min_pos[i, 0])
-            & (ra2 > AUTOCORR_MIN_ENERGY)
-            & (rb2 > AUTOCORR_MIN_ENERGY)
-        )
-        metric = jnp.where(valid, (p2 * p2) / jnp.where(valid, ra2 * rb2, 1.0), 0.0)
-
-        # first-peak commit in row-major (q, j) order on the [kq, 8] tile:
-        # lane prefix-max within rows, sublane prefix-max of row maxima,
-        # combine with the previous row's running max. Lane shifts use
-        # pad+slice; SUBLANE shifts must use pltpu.roll + iota mask (Mosaic
-        # rejects concat/pad at a sublane offset: "result/input offset
-        # mismatch on non-concat dimension").
-        rowpref = metric
-        for sh_l in (1, 2, 4):
-            rowpref = jnp.maximum(
-                rowpref, jnp.pad(rowpref[:, : 8 - sh_l], ((0, 0), (sh_l, 0)))
-            )
-        rowmax = rowpref[:, 7:8]  # [kq, 1]
-        qidx = jax.lax.broadcasted_iota(jnp.int32, (kq, 1), 0)
-
-        def _shift_rows(v, sh):
-            # v[i] <- v[i-sh], zeros filling the top (metrics are >= 0)
-            rolled = pltpu.roll(v, sh, axis=0)
-            return jnp.where(qidx >= sh, rolled, 0.0)
-
-        rmpref = rowmax
-        sh_q = 1
-        while sh_q < kq:
-            rmpref = jnp.maximum(rmpref, _shift_rows(rmpref, sh_q))
-            sh_q <<= 1
-        prev_rows = _shift_rows(rmpref, 1)  # exclusive over rows
-        runmax = jnp.maximum(rowpref, prev_rows)
-        drop = (runmax > AUTOCORR_THRESHOLD) & (metric < 0.7 * runmax)
+        metric = metric_b[i * r2 : (i + 1) * r2]  # static block slice
+        drop = drop_b[i * r2 : (i + 1) * r2]
         fd = jnp.min(jnp.where(drop, d2d, big))
         prefix = jnp.where(d2d <= fd, metric, 0.0)
         best = jnp.max(prefix)
@@ -412,11 +509,8 @@ def _receive_kernel(
         blocks = region[0, : _LANE * (nt - 1 + w // _LANE)].reshape(nt - 1 + w // _LANE, _LANE)
         corr = None
         for j in range(w // _LANE):
-            term = jnp.dot(
-                blocks[j : j + nt],
-                bank[:, j * _LANE : (j + 1) * _LANE].T,
-                preferred_element_type=jnp.float32,
-                precision=_HI,
+            term = dot_bf16x3(
+                blocks[j : j + nt], bank[:, j * _LANE : (j + 1) * _LANE].T
             )  # [nt, 128]
             corr = term if corr is None else corr + term
         corr = corr.reshape(1, nt * _LANE)
@@ -440,9 +534,7 @@ def _receive_kernel(
         a1 = pre_ref[pl.ds(i, 1), pl.ds(lo_s + _LANE, l_al)][0].reshape(k_al, _LANE)
         m0 = (lane_src == lane_dst + r).astype(jnp.float32)
         m1 = (lane_src == lane_dst + r - _LANE).astype(jnp.float32)
-        shifted = jnp.dot(a0, m0, preferred_element_type=jnp.float32, precision=_HI) + jnp.dot(
-            a1, m1, preferred_element_type=jnp.float32, precision=_HI
-        )
+        shifted = _dot_exact3(a0, m0) + _dot_exact3(a1, m1)
         al_ref[pl.ds(i, 1), :] = shifted.reshape(1, l_al)
 
     start_ref[...] = jnp.stack(starts).reshape(_ROWS, 1)
@@ -453,46 +545,34 @@ def _receive_kernel(
     # ---- channel estimation: H = (body_ce @ DFT) * known ----
     rx = rx_ref[...]
     body_ce = al_ref[:, 2 * sym + cp : 3 * sym]  # [8, fft]; cp+fft == sym
-    ch = jnp.dot(body_ce, rx, preferred_element_type=jnp.float32, precision=_HI) * kn_ref[...]
+    ch = dot_bf16x3(body_ce, rx) * kn_ref[...]
     ch_ref[...] = ch
-    hd_re = ch[:, :nd_pad]
-    hd_im = ch[:, nd_pad : 2 * nd_pad]
-    hp_re = ch[:, 2 * nd_pad : 2 * nd_pad + np_pad]
-    hp_im = ch[:, 2 * nd_pad + np_pad :]
-    hd_mag = hd_re * hd_re + hd_im * hd_im
-    hp_mag = hp_re * hp_re + hp_im * hp_im
-    hd_ok = hd_mag > 1e-10
-    hp_ok = hp_mag > 1e-10
-    hd_den = jnp.where(hd_ok, hd_mag, 1.0)
-    hp_den = jnp.where(hp_ok, hp_mag, 1.0)
 
     # ---- demod loop: DFT + EQ + pilot phase + demap + pack ----
-    # MXU utilization: one symbol's DFT is only an [8, 512] @ [512, SECT]
-    # matmul — 8 of 128 MXU rows. Batching G symbols x 8 streams through a
-    # [8G, 512] body scratch fills the systolic array (G=16 -> M=128),
-    # cutting demod MXU time ~16x. Chunk base 3*sym + cp = 3*fft + 4*cp and
-    # stride G*sym are 128-multiples for every profile (sym % 64 == 0, G
-    # even), so the dynamic loads stay lane-aligned.
+    # MXU/VPU utilization: one symbol is only 8 rows. Batching G symbols x
+    # 8 streams through a [8G, 512] body scratch fills the hardware tiles
+    # (G=16 -> 128 rows) for the DFT matmul AND the whole EQ + demap + pack
+    # stage, which runs ONCE per group on tiled channel rows. Chunk base
+    # 3*sym + cp = 3*fft + 4*cp and stride G*sym are 128-multiples for
+    # every profile (sym % 64 == 0, G even), so the dynamic loads stay
+    # lane-aligned.
     pack = pack_ref[...]
     g_syms = _group_syms(sym, max_syms)
     data_off = 3 * sym + cp
     chunk_len = g_syms * sym
     n_groups = -(-max_syms // g_syms)
+    tiled = _tiled_channel(ch, g_syms, nd_pad, np_pad)
 
     def demod_group(g, carry):
         chunk = al_ref[:, pl.ds(data_off + g * chunk_len, chunk_len)]
         for k in range(g_syms):
             body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[:, k * sym : k * sym + fft]
-        spec_all = jnp.dot(
-            body_ref[...], rx, preferred_element_type=jnp.float32, precision=_HI
-        )  # [8*g_syms, SECT]
+        spec_all = dot_bf16x3(body_ref[...], rx)  # [8*g_syms, SECT]
+        words_all = _eq_demap_pack(spec_all, *tiled, pack, mode, nd_pad, np_pad)
         for k in range(g_syms):
-            spec = spec_all[k * _ROWS : (k + 1) * _ROWS]
-            words = _eq_demap_pack(
-                spec, hd_re, hd_im, hd_ok, hd_den, hp_re, hp_im, hp_ok, hp_den,
-                pack, mode, nd_pad, np_pad,
-            )
-            words_ref[:, pl.ds((g * g_syms + k) * _LANE, _LANE)] = words
+            words_ref[:, pl.ds((g * g_syms + k) * _LANE, _LANE)] = words_all[
+                k * _ROWS : (k + 1) * _ROWS
+            ]
         return carry
 
     jax.lax.fori_loop(0, n_groups, demod_group, 0)
@@ -517,43 +597,40 @@ def _chunk_kernel(
     nd_pad, np_pad = g["nd_pad"], g["np_pad"]
 
     # Per-frame peak norm (app.js:918-925) as a scale applied per window —
-    # the frame itself stays in the ref; only fft-sized bodies materialize.
+    # the frame itself stays in the ref; only group-sized chunks materialize.
     mx = jnp.abs(frames_ref[...]).max(axis=-1, keepdims=True)
     scale = jnp.where(mx > 1e-6, 1.0 / jnp.where(mx > 1e-6, mx, 1.0), 1.0)  # [8, 1]
 
     rx = rx_ref[...]
     body_ce = frames_ref[:, 2 * sym + cp : 3 * sym] * scale
-    ch = jnp.dot(body_ce, rx, preferred_element_type=jnp.float32, precision=_HI) * kn_ref[...]
-    hd_re = ch[:, :nd_pad]
-    hd_im = ch[:, nd_pad : 2 * nd_pad]
-    hp_re = ch[:, 2 * nd_pad : 2 * nd_pad + np_pad]
-    hp_im = ch[:, 2 * nd_pad + np_pad :]
-    hd_mag = hd_re * hd_re + hd_im * hd_im
-    hp_mag = hp_re * hp_re + hp_im * hp_im
-    hd_ok = hd_mag > 1e-10
-    hp_ok = hp_mag > 1e-10
-    hd_den = jnp.where(hd_ok, hd_mag, 1.0)
-    hp_den = jnp.where(hp_ok, hp_mag, 1.0)
+    ch = dot_bf16x3(body_ce, rx) * kn_ref[...]
 
+    # Demod loop: IDENTICAL structure to _receive_kernel's — a fori_loop of
+    # uniform whole groups with dynamic lane-aligned loads. The caller pads
+    # the frame and the words output to whole groups (junk symbols past
+    # n_sym are truncated in the epilogue); a structurally-unrolled variant
+    # with a partial last group measured ~8x slower per symbol on v5e
+    # (Mosaic schedules the rolled loop far better).
     pack = pack_ref[...]
     g_syms = _group_syms(sym, max_syms)
     n_groups = -(-max_syms // g_syms)
-    for grp in range(n_groups):
-        in_group = min(g_syms, max_syms - grp * g_syms)
-        for k in range(in_group):
-            off = 3 * sym + cp + (grp * g_syms + k) * sym
-            body_ref[pl.ds(k * _ROWS, _ROWS), :] = frames_ref[:, off : off + fft] * scale
-        spec_all = jnp.dot(
-            body_ref[...], rx, preferred_element_type=jnp.float32, precision=_HI
-        )
-        for k in range(in_group):
-            spec = spec_all[k * _ROWS : (k + 1) * _ROWS]
-            words = _eq_demap_pack(
-                spec, hd_re, hd_im, hd_ok, hd_den, hp_re, hp_im, hp_ok, hp_den,
-                pack, mode, nd_pad, np_pad,
-            )
-            j = grp * g_syms + k
-            words_ref[:, j * _LANE : (j + 1) * _LANE] = words
+    tiled = _tiled_channel(ch, g_syms, nd_pad, np_pad)
+    data_off = 3 * sym + cp  # 3*fft + 4*cp: a 128-multiple for every profile
+    chunk_len = g_syms * sym
+
+    def demod_group(g, carry):
+        chunk = frames_ref[:, pl.ds(data_off + g * chunk_len, chunk_len)] * scale
+        for k in range(g_syms):
+            body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[:, k * sym : k * sym + fft]
+        spec_all = dot_bf16x3(body_ref[...], rx)
+        words_all = _eq_demap_pack(spec_all, *tiled, pack, mode, nd_pad, np_pad)
+        for k in range(g_syms):
+            words_ref[:, pl.ds((g * g_syms + k) * _LANE, _LANE)] = words_all[
+                k * _ROWS : (k + 1) * _ROWS
+            ]
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, demod_group, 0)
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym", "interpret"))
@@ -572,12 +649,13 @@ def decode_chunks_fused(
     if b % _ROWS:
         pad = _ROWS - b % _ROWS
         return decode_chunks_fused(jnp.pad(frames, ((0, pad), (0, 0))), mode, n_sym, interpret)[:b]
-    need = (3 + n_sym) * profile.symbol_len + profile.cp_len
+    g_syms = _group_syms(profile.symbol_len, n_sym)
+    syms_padded = -(-n_sym // g_syms) * g_syms  # kernel loads whole groups
+    need = (3 + syms_padded) * profile.symbol_len + profile.cp_len
     t_pad = _round_up(max(t, need), _LANE)
     if t_pad != t:
         frames = jnp.pad(frames, ((0, 0), (0, max(0, t_pad - t))))
         frames = frames[:, :t_pad]
-    g_syms = _group_syms(profile.symbol_len, n_sym)
 
     rx = jnp.asarray(_rx_sections(profile))
     kn = jnp.asarray(np.tile(_ce_known_row(profile), (_ROWS, 1)))
@@ -592,8 +670,10 @@ def decode_chunks_fused(
             pl.BlockSpec(kn.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(pack.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROWS, n_sym * _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_sym * _LANE), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (_ROWS, syms_padded * _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, syms_padded * _LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_ROWS * g_syms, profile.fft_size), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -605,7 +685,7 @@ def decode_chunks_fused(
     nd = g["nd"]
     bps = mode.bps
     n_words = -(-(nd * bps) // 16)
-    w = words.reshape(b, n_sym, _LANE)[:, :, :n_words].astype(jnp.int32)
+    w = words.reshape(b, syms_padded, _LANE)[:, :n_sym, :n_words].astype(jnp.int32)
     shifts = jnp.arange(15, -1, -1, dtype=jnp.int32)
     bits = ((w[..., None] >> shifts) & 1).astype(jnp.int8)
     bits = bits.reshape(b, n_sym, n_words * 16)[:, :, : nd * bps]
@@ -657,13 +737,16 @@ def decode_fused(
     n_groups = -(-max_syms // g_syms)
     syms_padded = n_groups * g_syms
     l_al = _round_up((3 + syms_padded) * sym + profile.cp_len, _LANE)
-    t_pad = _round_up(t, _LANE) + l_al + _LANE
+    t_pad = _rx_t_pad(t, l_al)
 
     _, t_energy = _template(profile)
     bank = jnp.asarray(_template_bank(profile))
     rx = jnp.asarray(_rx_sections(profile))
     kn = jnp.asarray(np.tile(_ce_known_row(profile), (_ROWS, 1)))
     pack = jnp.asarray(_pack_matrix(mode))
+    m1_np, m2_np = _scan_masks()
+    m1 = jnp.asarray(m1_np)
+    m2 = jnp.asarray(m2_np)
     sect = rx.shape[1]
 
     kernel = pl.pallas_call(
@@ -684,6 +767,8 @@ def decode_fused(
             pl.BlockSpec(rx.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(kn.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(pack.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(m2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -719,6 +804,8 @@ def decode_fused(
         rx,
         kn,
         pack,
+        m1,
+        m2,
     )
 
     # ---- XLA-side epilogue: unpack words -> bits, reassemble channel ----

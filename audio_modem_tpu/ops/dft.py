@@ -122,9 +122,36 @@ def spec_to_time(spec_re: jnp.ndarray, spec_im: jnp.ndarray, profile: OfdmProfil
     return jnp.matmul(stacked, _tx_matrix(profile), precision=_PRECISION)
 
 
+def dot_bf16x3(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """~f32-accurate matmul as three 1-pass bf16 MXU products (explicit
+    bf16x3 split, dropping the x_lo @ y_lo term, ~1e-5 relative error).
+
+    This is the ONE formulation of the receive-direction DFT, shared by the
+    XLA pipeline (here) and the Pallas kernels (kernels/receive.py), chosen
+    over Precision.HIGHEST (6 MXU passes on f32 inputs) because the demod
+    decisions it feeds are thresholded with >=0.1 margins — and over
+    Precision.HIGH because Mosaic's dot lowering does not implement it.
+    Sharing the exact op sequence keeps the kernel and XLA paths
+    decision-IDENTICAL even for noise-borderline bits (a kernel at bf16x3
+    vs XLA at HIGHEST statistically must disagree on bins that land within
+    ~1e-5 of a demap boundary). The transmit direction stays at HIGHEST:
+    TX waveforms carry a 3e-5 oracle tolerance with no decision margin."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    y_hi = y.astype(jnp.bfloat16).astype(jnp.float32)
+    y_lo = y - y_hi
+    return (
+        jnp.matmul(x_hi, y_hi, preferred_element_type=jnp.float32)
+        + (
+            jnp.matmul(x_hi, y_lo, preferred_element_type=jnp.float32)
+            + jnp.matmul(x_lo, y_hi, preferred_element_type=jnp.float32)
+        )
+    )
+
+
 def time_to_spec(body: jnp.ndarray, profile: OfdmProfile) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real time domain [..., fft_size] -> active-bin spectrum (re, im)."""
-    out = jnp.matmul(body.astype(jnp.float32), _rx_matrix(profile), precision=_PRECISION)
+    out = dot_bf16x3(body.astype(jnp.float32), _rx_matrix(profile))
     n_act = profile.num_active_subs
     return out[..., :n_act], out[..., n_act:]
 
@@ -133,8 +160,6 @@ def time_to_spec_bins(
     body: jnp.ndarray, profile: OfdmProfile, bins: tuple[int, ...]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Real time domain [..., fft_size] -> spectrum at the given bins only."""
-    out = jnp.matmul(
-        body.astype(jnp.float32), _rx_matrix_for_bins(profile, bins), precision=_PRECISION
-    )
+    out = dot_bf16x3(body.astype(jnp.float32), _rx_matrix_for_bins(profile, bins))
     n = len(bins)
     return out[..., :n], out[..., n:]
