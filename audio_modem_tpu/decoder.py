@@ -24,7 +24,7 @@ from audio_modem_tpu import phy, sync
 from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.configs import FRAME_FEC
 from audio_modem_tpu.framing import FrameError, ParseResult, parse_payload_bytes
-from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote, soft_combine
 
 PAD_BUCKET = 16384
 
@@ -129,6 +129,36 @@ def _evm_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray, mod
     return phy.symbol_evm(data.reshape(n_sym, sym), ch_re, ch_im, mode)
 
 
+@partial(jax.jit, static_argnames=("mode",))
+def _xcorr_core(signal: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode):
+    """Dense normalized-xcorr preamble search on the preprocessed signal —
+    the sync re-acquisition stage of decode_signal's CRC-failure retry."""
+    sig = sync.preprocess(signal, n_valid)
+    return sync.detect_preamble_xcorr(sig, mode.profile, n_valid)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _soft_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray, mode: ModemMode, n_sym: int):
+    """BPSK soft metrics of the data region (phy.demodulate_soft_bpsk) —
+    the input to the soft repetition-combining retry."""
+    p = mode.profile
+    sym = p.symbol_len
+    sig = sync.preprocess(signal, n_valid)
+    ext = jnp.pad(sig, (0, (3 + n_sym) * sym))
+    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+    data = jax.lax.dynamic_slice(ext, (start + 3 * sym,), (n_sym * sym,))
+    return phy.demodulate_soft_bpsk(data.reshape(n_sym, sym), ch_re, ch_im, mode)
+
+
+def _soft_retry_applicable(mode: ModemMode) -> bool:
+    return mode.repetition > 1 and mode.constellation == "BPSK"
+
+
+def _parse_failed(result) -> bool:
+    return isinstance(result, FrameError) or not getattr(result, "crc_valid", True)
+
+
 def _byte_erasures(evm: np.ndarray, mode: ModemMode, n_bytes: int) -> np.ndarray | None:
     """Per-symbol EVM -> per-payload-byte erasure flags (or None).
 
@@ -194,7 +224,7 @@ def _tracked_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray,
 
 
 def decode_raw(
-    signal: np.ndarray, mode: ModemMode, track_timing: bool = False
+    signal: np.ndarray, mode: ModemMode, track_timing: bool = False, min_pos: int = 0
 ) -> tuple[bytes | FrameError, DecodeInfo | None]:
     """Full-signal sync + demod -> raw payload BYTES (repetition undone,
     packed), before any frame-type parse. The public path for every
@@ -212,7 +242,8 @@ def decode_raw(
     sig[:n_valid] = signal
     sig_dev = jnp.asarray(sig)
 
-    min_pos, coarse, start, fine_metric = 0, -1, -1, -np.inf
+    min_pos, coarse, start, fine_metric = int(min_pos), -1, -1, -np.inf
+    first_pass = min_pos == 0
     bits = ch_re = ch_im = None
     for _ in range(4):
         coarse_t, start_t, metric_t, bits, ch_re, ch_im = _core_dispatch(
@@ -220,7 +251,7 @@ def decode_raw(
         )
         coarse = int(coarse_t)
         if coarse < 0:
-            if min_pos == 0:
+            if first_pass and fine_metric == -np.inf:
                 return FrameError("Preamble not detected"), None
             break
         start, fine_metric = int(start_t), float(metric_t)
@@ -267,11 +298,67 @@ def decode_signal(
     ``track_timing`` enables the sample-timing tracking loop for long
     frames under TX/RX clock offset (phy.demodulate_tracked) — a capability
     the reference does not have.
+
+    Sync re-acquisition retry (beats the reference's one-shot decoder):
+    when the Schmidl-Cox scan finds nothing (the autocorr metric of a weak
+    frame sits below the 0.5 threshold well before the bit error rate is
+    hopeless) or its committed candidate fails CRC, the signal is
+    re-acquired with the dense cross-correlation detector — which the
+    reference uses only as the loopback analyzer's fallback
+    (modem.js:980-984), never in decodeReceivedSignal — and the frame is
+    decoded aligned at the xcorr winner (no autocorr gate), with the
+    chunk decoder's own soft/FEC retry ladder behind it.
     """
-    raw, info = decode_raw(signal, mode, track_timing=track_timing)
+    result, info = _decode_signal_once(signal, mode, track_timing, 0)
+    if not _parse_failed(result):
+        return result, info
+    p = mode.profile
+    n_valid = len(signal)
+    pad_len = _bucket_len(n_valid)
+    sig = np.zeros(pad_len, np.float32)
+    sig[:n_valid] = signal
+    xi, xm = _xcorr_core(jnp.asarray(sig), jnp.int32(n_valid), mode)
+    xstart = int(xi)
+    if (
+        float(xm) >= sync.XCORR_THRESHOLD
+        and xstart >= 0
+        and (info is None or abs(xstart - info.preamble_idx) > p.symbol_len // 2)
+    ):
+        retry = decode_chunk_frame(np.asarray(signal[xstart:], np.float32), mode)
+        if not _parse_failed(retry):
+            rinfo = DecodeInfo(preamble_idx=xstart, coarse_idx=-1, fine_metric=float(xm))
+            return retry, rinfo
+    return result, info
+
+
+def _decode_signal_once(
+    signal: np.ndarray, mode: ModemMode, track_timing: bool, min_pos: int
+) -> tuple[ParseResult, DecodeInfo | None]:
+    raw, info = decode_raw(signal, mode, track_timing=track_timing, min_pos=min_pos)
     if isinstance(raw, FrameError):
         return raw, info
     result = parse_payload_bytes(raw, min_len=10)
+    if _parse_failed(result) and _soft_retry_applicable(mode) and info is not None:
+        # soft repetition-combining retry (beats the reference: hard
+        # majority voting throws away each copy's confidence; summing the
+        # BPSK soft metrics before the sign decision recovers ~2 dB)
+        p = mode.profile
+        sym = p.symbol_len
+        n_valid = len(signal)
+        n_sym = (n_valid - (info.preamble_idx + 3 * sym)) // sym
+        if n_sym > 0:
+            pad_len = _bucket_len(n_valid)
+            sig = np.zeros(pad_len, np.float32)
+            sig[:n_valid] = signal
+            soft = np.asarray(
+                _soft_core(jnp.asarray(sig), jnp.int32(n_valid), jnp.int32(info.preamble_idx), mode, int(n_sym))
+            )
+            soft_raw = bytes(bits_to_bytes(soft_combine(soft, mode.repetition)))
+            soft_result = parse_payload_bytes(soft_raw, min_len=10)
+            if not _parse_failed(soft_result):
+                return soft_result, info
+            if _is_fec_failure(soft_raw, soft_result):
+                raw, result = soft_raw, soft_result  # give FEC the better bits
     if _is_fec_failure(raw, result) and info is not None:
         # errors-and-erasures retry: re-read the data region's per-symbol
         # EVM, flag burst-hit bytes, decode again with known positions
@@ -309,6 +396,13 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
     frame_dev = jnp.asarray(frame[:usable], dtype=jnp.float32)
     bits = _chunk_core(frame_dev, mode, n_sym)
     result = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
+    if _parse_failed(result) and _soft_retry_applicable(mode):
+        # soft repetition-combining retry (see decode_signal)
+        soft = np.asarray(_chunk_soft_core(frame_dev, mode, n_sym))
+        soft_raw = bytes(bits_to_bytes(soft_combine(soft, mode.repetition)))
+        soft_result = parse_payload_bytes(soft_raw, min_len=6)
+        if not _parse_failed(soft_result):
+            return soft_result
     if isinstance(result, FrameError) and result.error.startswith("FEC decode failed"):
         b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
         if mode.repetition > 1:
@@ -329,6 +423,16 @@ def _chunk_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
     data = frame[3 * sym :].reshape(n_sym, sym)
     return phy.demodulate(data, ch_re, ch_im, mode)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _chunk_soft_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    """BPSK soft metrics for a sync-aligned frame (soft-combining retry)."""
+    p = mode.profile
+    sym = p.symbol_len
+    ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
+    data = frame[3 * sym :].reshape(n_sym, sym)
+    return phy.demodulate_soft_bpsk(data, ch_re, ch_im, mode)
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))

@@ -391,37 +391,31 @@ def _receive_kernel(
 
     r_sc = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * r2, _LANE), 0)
     q_blk = r_sc % r2  # scan row within a stream's block
-    not_last = q_blk[:, :1] < r2 - 1
     nrows = _ROWS * r2
 
-    # Data movement is the scan's real cost, so: TWO aligned ref loads (no
-    # value slicing), window dots at DEFAULT (1-pass bf16) precision — the
+    # Data movement is the scan's real cost, so: FOUR aligned ref loads (no
+    # value slicing; x at +0 / +256 / +2048 / +2304), six elementwise
+    # products, and window dots at DEFAULT (1-pass bf16) precision — the
     # metric feeds >0.5/0.7x thresholded commits where 0.4% error moves a
     # committed coarse index at most a plateau step, always inside the
-    # refine radius — each quantity's next-chunk spill taken from its OWN
-    # in-row product via a one-row roll (b's row r+1 IS the next chunk),
-    # and rb2 (the +256 window) derived from ra2 by a 16-lane shift with
-    # row carry instead of a third window computation. Positions past a
-    # stream's last chunk are invalid by the d <= nv - 512 mask, so the
-    # roll's block-boundary wraparound never reaches a committed metric.
+    # refine radius. Each window's next-chunk spill comes from a product of
+    # the +2048-offset loads (row r of the shifted series IS chunk r+1 of
+    # the base series) — NOT from a sublane roll of the in-row result: a
+    # whole-array wraparound roll measured fine in interpret mode but
+    # returned garbage rows on hardware, injecting data-region energy into
+    # the silence region and committing false sub-threshold peaks.
     x0 = pre_ref[:, pl.ds(0, l2)]  # zeros past t
     x1 = pre_ref[:, pl.ds(_HALF, l2)]
-    prod_b = (x0 * x1).reshape(nrows, chunk)
-    sq_b = (x0 * x0).reshape(nrows, chunk)
+    xn0 = pre_ref[:, pl.ds(chunk, l2)]
+    xn1 = pre_ref[:, pl.ds(chunk + _HALF, l2)]
     d = partial(jnp.dot, preferred_element_type=jnp.float32)
 
-    def _roll_up(v):
-        return jnp.where(not_last, pltpu.roll(v, nrows - 1, axis=0), 0.0)
+    def _win(b0, b1):
+        return d(b0.reshape(nrows, chunk), m1) + d(b1.reshape(nrows, chunk), m2)
 
-    def _win(b):
-        return d(b, m1) + _roll_up(d(b, m2))
-
-    p2_b = _win(prod_b)
-    ra2_b = _win(sq_b)
-    sh = _HALF // stride  # 16 lanes = +256 positions
-    rb2_b = jnp.pad(ra2_b[:, sh:], ((0, 0), (0, sh))) + jnp.pad(
-        _roll_up(ra2_b)[:, :sh], ((0, 0), (_LANE - sh, 0))
-    )
+    p2_b = _win(x0 * x1, xn0 * xn1)
+    ra2_b = _win(x0 * x0, xn0 * xn0)
+    rb2_b = _win(x1 * x1, xn1 * xn1)
     d2d = chunk * q_blk[:r2] + stride * jax.lax.broadcasted_iota(
         jnp.int32, (r2, _LANE), 1
     )  # block-local positions (identical for every stream block)
@@ -642,7 +636,10 @@ def decode_chunks_fused(
 ) -> jnp.ndarray:
     """Fused batch_decode_chunk_frames: [B, >=(3+n_sym)*sym] frames ->
     hard bits [B, n_sym * bits_per_symbol] int8. Decision-identical to the
-    XLA path (parallel.batch.batch_decode_chunk_frames)."""
+    XLA path (parallel.batch.batch_decode_chunk_frames) on CPU/interpret;
+    on hardware, agreement holds up to a ~5e-5 noise-borderline-bin band
+    (XLA and Mosaic schedule the shared bf16x3 DFT's passes differently —
+    see tests/test_kernels_tpu.py)."""
     profile = mode.profile
     g = _geometry(profile)
     b, t = frames.shape
@@ -708,12 +705,13 @@ def decode_fused(
     Decision-identical to parallel.batch.batch_decode_signals /
     decoder._decode_core (asserted in tests/test_kernels.py): identical
     refined starts, detection flags, and payload bits for every symbol that
-    lies inside the frame. Two benign deviations: the committed coarse index
-    may land on an earlier sample of the same metric plateau, and bits of
+    lies inside the frame. Three benign deviations: the committed coarse
+    index may land on an earlier sample of the same metric plateau; bits of
     JUNK symbols past the frame end (which every consumer truncates, like
-    the reference's junk-tail demod, modem.js:368) may flip — those
-    decisions sit at 1e-6-scale values where Mosaic-vs-XLA reduction
-    ordering differs.
+    the reference's junk-tail demod, modem.js:368) may flip; and ON
+    HARDWARE, payload bits agree up to a ~5e-5 noise-borderline-bin band
+    (XLA vs Mosaic scheduling of the shared bf16x3 DFT; exact on
+    CPU/interpret — see tests/test_kernels_tpu.py).
     """
     from audio_modem_tpu.sync import XCORR_THRESHOLD
 

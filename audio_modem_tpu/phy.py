@@ -150,6 +150,58 @@ def demodulate(
     return bits.reshape(*lead, n_sym * per)
 
 
+def demodulate_soft_bpsk(
+    symbols: jnp.ndarray,
+    ch_re: jnp.ndarray,
+    ch_im: jnp.ndarray,
+    mode: ModemMode,
+) -> jnp.ndarray:
+    """BPSK soft bit metrics: the MATCHED-FILTER (Y * conj(H)), pilot-phase-
+    corrected real component of each data bin, flattened in demodulate's bit
+    order (hard bit = metric < 0 — the sign equals the ZF demap's, since
+    matched filter and ZF differ by the positive factor |H|^2).
+
+    Exists for soft repetition combining: summing each transmitted bit's
+    repeated soft metrics BEFORE the sign decision is worth ~1-2 dB of
+    sensitivity over the reference's hard-bit majority vote
+    (modem.js:479-495) on the x3-repetition modes — a vote is blind to how
+    confident each copy was. The matched-filter scaling is what makes the
+    sum a true maximum-ratio combiner: each copy carries weight |H|^2
+    (its SNR). Summing the ZF-equalized values instead would do the
+    opposite — ZF noise grows as 1/|H|^2, so the noisiest copies would
+    dominate and the combiner measures WORSE than the vote. Only the BPSK
+    constellation needs a soft path (it is the only one the mode registry
+    pairs with repetition); used by the decoders' soft retry when the hard
+    decision fails CRC/FEC."""
+    assert mode.constellation == "BPSK", "soft combining is a BPSK-repetition feature"
+    p = mode.profile
+    tabs = _bin_tables(p)
+    body = strip_cp(symbols, p)
+    data_bins = tuple(int(b) for b in p.data_bins)
+    pilot_bins = tuple(int(b) for b in p.pilot_bins)
+    d_re, d_im = time_to_spec_bins(body, p, data_bins)
+    p_re, p_im = time_to_spec_bins(body, p, pilot_bins)
+    dpos, ppos = tabs["data_pos"], tabs["pilot_pos"]
+    chd_re, chd_im = ch_re[..., dpos][..., None, :], ch_im[..., dpos][..., None, :]
+    chp_re, chp_im = ch_re[..., ppos][..., None, :], ch_im[..., ppos][..., None, :]
+    # matched filter on data bins (passthrough where the hard path's EQ
+    # passes through, so the signs keep matching demodulate exactly)
+    mag = chd_re * chd_re + chd_im * chd_im
+    ok = mag > 1e-10
+    mr = jnp.where(ok, d_re * chd_re + d_im * chd_im, d_re)
+    mi = jnp.where(ok, d_im * chd_re - d_re * chd_im, d_im)
+    # pilot common phase measured on the EQ'd pilots — identical to the
+    # hard path (phase is scale-invariant)
+    pr, pi = equalize(p_re, p_im, chp_re, chp_im)
+    usable = jnp.abs(pr) > 1e-6
+    ratio = jnp.where(usable, pi / jnp.where(usable, pr, 1.0), 0.0)
+    cnt = usable.sum(axis=-1)
+    phi = jnp.where(cnt > 0, ratio.sum(axis=-1) / jnp.maximum(cnt, 1), 0.0)[..., None]
+    cr = mr + mi * phi
+    *lead, n_sym, nd = cr.shape
+    return cr.reshape(*lead, n_sym * nd)
+
+
 def demodulate_tracked(
     sig_ext: jnp.ndarray,
     data_start: jnp.ndarray,

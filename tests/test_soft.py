@@ -1,0 +1,127 @@
+"""Soft-decision repetition combining (beats the reference).
+
+The reference decodes repetition modes by hard-bit majority vote
+(modem.js:479-495) — each copy votes with equal weight regardless of how
+close it was to the decision boundary. The framework's soft retry
+(decoder._soft_core + ops.bits.soft_combine) sums each transmitted bit's
+equalized BPSK metrics before the sign decision (maximum-ratio combining),
+recovering frames the vote loses. It runs only after a hard decode fails
+CRC/FEC, so the bit-exact-vs-reference happy path is untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_modem_tpu import channel, framing, phy
+from audio_modem_tpu.configs import MODES
+from audio_modem_tpu.decoder import decode_chunk_frame, decode_signal
+from audio_modem_tpu.framing import DataFrame, LegacyFrame
+from audio_modem_tpu.ops.bits import majority_vote, repeat_bits, soft_combine
+
+
+class TestSoftMetrics:
+    def test_soft_sign_matches_hard_bits(self):
+        """On any frame, sign(soft) must reproduce the hard demap exactly."""
+        mode = MODES["BPSK-ACOUSTIC"]
+        p = mode.profile
+        rng = np.random.default_rng(0)
+        n_sym = 6
+        bits = rng.integers(0, 2, n_sym * mode.bits_per_symbol).astype(np.int8)
+        syms = phy.modulate(jnp.asarray(bits)[None], mode)[0]
+        sig = np.asarray(syms).reshape(-1)
+        sig = sig + 0.05 * rng.standard_normal(len(sig)).astype(np.float32)
+        ce = np.asarray(p.ce_symbol)
+        ch_re, ch_im = phy.estimate_channel(jnp.asarray(ce), p)
+        data = jnp.asarray(sig.reshape(n_sym, p.symbol_len))
+        hard = np.asarray(phy.demodulate(data, ch_re, ch_im, mode))
+        soft = np.asarray(phy.demodulate_soft_bpsk(data, ch_re, ch_im, mode))
+        assert np.array_equal(hard, (soft < 0).astype(hard.dtype))
+
+    def test_soft_combine_tie_and_sign(self):
+        assert np.array_equal(soft_combine(np.array([-1.0, -1.0, 0.5]), 3), [1])
+        assert np.array_equal(soft_combine(np.array([1.0, 1.0, -0.5]), 3), [0])
+        # high-confidence copy outvotes two marginal flips — the case
+        # majority_vote gets wrong by construction
+        s = np.array([-5.0, 0.1, 0.1])
+        assert np.array_equal(soft_combine(s, 3), [1])
+        assert np.array_equal(majority_vote((s < 0).astype(np.int8), 3), [0])
+
+    def test_soft_combine_beats_majority_statistically(self):
+        """Wire-level AWGN on repeated BPSK soft metrics: MRC must make
+        strictly fewer bit errors than the vote over a big sample."""
+        rng = np.random.default_rng(1)
+        n = 20000
+        true_bits = rng.integers(0, 2, n).astype(np.int8)
+        wire = repeat_bits(true_bits, 3).astype(np.float64)
+        # bit b=1 -> true metric -1, b=0 -> +1 (metric < 0 decodes as 1)
+        soft = (2.0 * wire - 1.0) * -1.0 + 1.1 * rng.standard_normal(len(wire))
+        hard_err = int((majority_vote((soft < 0).astype(np.int8), 3) != true_bits).sum())
+        soft_err = int((soft_combine(soft, 3) != true_bits).sum())
+        assert soft_err < hard_err, (soft_err, hard_err)
+
+
+class TestXcorrReacquisition:
+    def test_below_autocorr_threshold_frames_recovered(self):
+        """At 3 dB the Schmidl-Cox metric of these frames peaks at
+        0.42-0.48 — below the 0.5 threshold — so the reference's
+        decodeReceivedSignal (and our autocorr-only pass) returns
+        'Preamble not detected'. decode_signal's xcorr re-acquisition
+        (matched to the actual preamble waveform: metric ~0.83 on the same
+        frames) must still recover them with exact payloads."""
+        mode = MODES["BPSK-REPEAT"]
+        rng = np.random.default_rng(42)
+        payload = rng.bytes(96)
+        sig = framing.build_transmit_signal(payload, mode, "f.bin")
+        recovered = 0
+        for seed in (0, 1, 3, 4, 5):
+            noisy = channel.apply_channel_np(
+                np.asarray(sig), channel.ChannelSpec(snr_db=3.0), seed=seed
+            )
+            result, info = decode_signal(noisy, mode)
+            if isinstance(result, LegacyFrame) and result.crc_valid:
+                assert result.data == payload
+                assert info is not None and info.preamble_idx > 10000
+                recovered += 1
+        assert recovered >= 3, f"xcorr re-acquisition recovered only {recovered}/5"
+
+
+class TestSoftRetryEndToEnd:
+    def test_chunk_soft_retry(self):
+        """Across an AWGN band straddling the decode cliff, the soft retry
+        must recover at least one frame the hard majority vote loses (and
+        never lose one it had) — through the public chunk-frame decoder.
+        The gain at the cliff is MRC's confidence weighting: a marginal
+        flipped copy can no longer outvote a confident one."""
+        from audio_modem_tpu.decoder import _bits_to_parse, _chunk_core
+
+        mode = MODES["BPSK-NARROW"]
+        rng = np.random.default_rng(7)
+        payload = rng.bytes(64)
+        frame = framing.build_data_chunk_frame(payload, 3, mode)
+        frame = frame[mode.profile.silence_pre_chunk(False):]
+        sym = mode.profile.symbol_len
+        rescued = hard_ok_total = full_ok_total = 0
+        for snr in (-4.5, -4.0, -3.5, -3.0):
+            for seed in range(10):
+                spec = channel.ChannelSpec(snr_db=snr)
+                noisy = channel.apply_channel_np(np.asarray(frame), spec, seed=seed)
+                n_sym = (len(noisy) - 3 * sym) // sym
+                usable = 3 * sym + n_sym * sym
+                bits = _chunk_core(jnp.asarray(noisy[:usable], jnp.float32), mode, n_sym)
+                hard = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
+                hard_ok = isinstance(hard, DataFrame) and hard.crc_valid
+                result = decode_chunk_frame(noisy, mode)
+                full_ok = isinstance(result, DataFrame) and result.crc_valid
+                hard_ok_total += hard_ok
+                full_ok_total += full_ok
+                if full_ok:
+                    assert result.data == payload
+                if hard_ok:
+                    assert full_ok, "soft retry must never lose a frame the vote decodes"
+                elif full_ok:
+                    rescued += 1
+        assert rescued > 0, (
+            f"no soft rescue in band (hard {hard_ok_total}, full {full_ok_total})"
+        )
