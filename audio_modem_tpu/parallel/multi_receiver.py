@@ -27,7 +27,7 @@ import numpy as np
 
 from audio_modem_tpu import decoder, framing, native, sync
 from audio_modem_tpu.configs import ModemMode
-from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote, soft_combine
 from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
@@ -254,6 +254,17 @@ class BatchReceiver:
             b = majority_vote(b, self.mode.repetition)
         by = bits_to_bytes(b)
         result = framing.parse_payload_bytes(by, min_len=6)
+        if (
+            frame is not None
+            and decoder._parse_failed(result)
+            and decoder._soft_retry_applicable(self.mode)
+        ):
+            # soft repetition-combining retry (see decoder.decode_chunk_frame)
+            soft = np.asarray(decoder._chunk_soft_core(jnp.asarray(frame), self.mode, n_sym))
+            soft_by = bits_to_bytes(soft_combine(soft, self.mode.repetition))
+            soft_result = framing.parse_payload_bytes(soft_by, min_len=6)
+            if not decoder._parse_failed(soft_result):
+                result = soft_result
         if (
             frame is not None
             and isinstance(result, framing.FrameError)
