@@ -170,6 +170,57 @@ def ber_vs_snr(
     return out
 
 
+def repetition_ber_vs_snr(
+    mode: ModemMode,
+    snrs_db: tuple[float, ...] = (-4.0, -2.0, 0.0, 2.0),
+    n_streams: int = 16,
+    n_sym: int = 12,
+    seed: int = 0,
+) -> dict[float, tuple[float, float]]:
+    """Decoded-bit BER of a repetition mode, hard vote vs soft combining.
+
+    For each SNR point, runs the AWGN loopback (modulate repeated bits ->
+    CE symbol -> AWGN -> channel estimate -> demod) and decodes the
+    repetition code BOTH ways: the reference's hard-bit majority vote
+    (modem.js:487-495) and maximum-ratio combining of the matched-filter
+    soft metrics (phy.demodulate_soft_bpsk + ops.bits.soft_combine).
+    Returns {snr_db: (hard_ber, soft_ber)} — the measured gap is the soft
+    retry's sensitivity gain over the reference."""
+    import jax
+
+    from audio_modem_tpu.channel import awgn
+    from audio_modem_tpu.ops.bits import soft_combine
+
+    assert mode.repetition > 1 and mode.constellation == "BPSK"
+    p = mode.profile
+    rep = mode.repetition
+    rng = np.random.default_rng(seed)
+    n_wire = n_sym * mode.bits_per_symbol
+    n_dec = n_wire // rep
+    dec_bits = rng.integers(0, 2, (n_streams, n_dec), dtype=np.int8)
+    wire = np.repeat(dec_bits, rep, axis=-1)
+    wire = np.pad(wire, ((0, 0), (0, n_wire - wire.shape[1])))
+    wire_d = jnp.asarray(wire)
+    out: dict[float, tuple[float, float]] = {}
+    for i, snr in enumerate(snrs_db):
+        syms = phy.modulate(wire_d, mode)
+        sig = syms.reshape(syms.shape[0], -1)
+        ce = jnp.broadcast_to(jnp.asarray(p.ce_symbol), (sig.shape[0], p.symbol_len))
+        rx = awgn(jnp.concatenate([ce, sig], axis=-1), float(snr), jax.random.PRNGKey(seed + i))
+        ch_re, ch_im = phy.estimate_channel(rx[:, : p.symbol_len], p)
+        data = rx[:, p.symbol_len :].reshape(-1, n_sym, p.symbol_len)
+        hard = np.asarray(phy.demodulate(data, ch_re, ch_im, mode))
+        soft = np.asarray(phy.demodulate_soft_bpsk(data, ch_re, ch_im, mode))
+        hard_dec = np.stack([majority_vote(hard[s], rep) for s in range(n_streams)])
+        soft_dec = np.stack([soft_combine(soft[s], rep) for s in range(n_streams)])
+        m = hard_dec.shape[1]
+        out[float(snr)] = (
+            float((hard_dec != dec_bits[:, :m]).mean()),
+            float((soft_dec != dec_bits[:, :m]).mean()),
+        )
+    return out
+
+
 def render_chunk_bitmap(bitmap: np.ndarray, width: int = 64) -> str:
     """Text rendering of the received-chunk bitmap (app.js:1025-1053 analog):
     one cell per chunk group, '#' complete / '+' partial / '.' missing."""

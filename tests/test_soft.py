@@ -62,6 +62,21 @@ class TestSoftMetrics:
         assert soft_err < hard_err, (soft_err, hard_err)
 
 
+class TestRepetitionBerCurve:
+    def test_soft_ber_never_worse_and_beats_hard(self):
+        """diag.repetition_ber_vs_snr: over the loopback waterfall, soft
+        combining's decoded-bit BER must never exceed the vote's and must
+        be strictly lower somewhere (measured ~-20%/-30% BER at the cliff,
+        ~0.5-1 dB of SNR)."""
+        from audio_modem_tpu import diag
+
+        curves = diag.repetition_ber_vs_snr(
+            MODES["BPSK-REPEAT"], snrs_db=(-4.0, -2.0, 0.0), n_streams=16, n_sym=10
+        )
+        assert all(s <= h for h, s in curves.values()), curves
+        assert any(s < h for h, s in curves.values()), curves
+
+
 class TestXcorrReacquisition:
     def test_below_autocorr_threshold_frames_recovered(self):
         """At 3 dB the Schmidl-Cox metric of these frames peaks at
