@@ -171,6 +171,25 @@ def main() -> None:
         details["batch512_full_pipeline_msps"] = round(msps_512, 2)
         details["batch512_realtime_streams"] = round(msps_512 * 1e6 / 44100.0, 0)
 
+    # ---- 4096-stream ceiling (device-bound; dispatch overhead amortized
+    # to noise — the serving-scale throughput figure) ----
+    @stage("batch4096", 220.0)
+    def _():
+        sig4k = jax.device_put(jnp.tile(jnp.asarray(signals), (64, 1)))
+        nv4k = jax.device_put(jnp.tile(jnp.asarray(n_valid), (64,)))
+        full4k = jax.jit(lambda s, nv: batch_decode_signals(s, nv, mode, max_syms))
+        jax.block_until_ready(full4k(sig4k, nv4k))
+        dt = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out4k = full4k(sig4k, nv4k)
+            jax.block_until_ready(out4k)
+            dt = min(dt, time.perf_counter() - t0)
+        msps_4k = sig4k.size * iters / dt / 1e6
+        details["batch4096_full_pipeline_msps"] = round(msps_4k, 2)
+        details["batch4096_realtime_streams"] = round(msps_4k * 1e6 / 44100.0, 0)
+
     # ---- frame-aligned demod only (post-sync path) ----
     @stage("frame_demod", 120.0)
     def _():
