@@ -24,8 +24,11 @@ from typing import Callable
 
 import numpy as np
 
-from audio_modem_tpu import decoder, framing
+import jax.numpy as jnp
+
+from audio_modem_tpu import decoder, framing, sync
 from audio_modem_tpu.configs import ModemMode
+from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote, soft_combine
 from audio_modem_tpu.ops.crc32 import crc32
 from audio_modem_tpu.runtime.receiver import StreamingReceiver
 
@@ -160,10 +163,47 @@ def run_arq_session(
 
 
 def _decode_request(signal: np.ndarray, mode: ModemMode) -> RequestFrame | framing.FrameError:
-    """Full-signal decode of a request frame: the PUBLIC retry-loop decode
-    path (decoder.decode_raw — same false-positive resume as decode_signal,
-    so a noisy back link gets the same robustness), then 0xFC parse."""
-    raw, _ = decoder.decode_raw(signal, mode)
+    """Full-signal decode of a request frame with decode_signal's full
+    retry ladder behind it: the public retry-loop decode
+    (decoder.decode_raw — false-positive resume), then on failure the
+    xcorr sync re-acquisition with a frame-aligned decode, with soft
+    repetition combining for the x3-repetition back-link modes. A noisy
+    return channel is the ARQ session's weakest link; the reference has no
+    return channel at all (spec-promised, never shipped)."""
+    raw, info = decoder.decode_raw(signal, mode)
+    result: RequestFrame | framing.FrameError
     if isinstance(raw, framing.FrameError):
-        return raw
-    return parse_request(raw)
+        result = raw
+    else:
+        result = parse_request(raw)
+        if isinstance(result, RequestFrame) and result.crc_valid:
+            return result
+    # xcorr re-acquisition (see decoder.decode_signal)
+    p = mode.profile
+    sym = p.symbol_len
+    n_valid = len(signal)
+    pad_len = decoder._bucket_len(n_valid)
+    sig = np.zeros(pad_len, np.float32)
+    sig[:n_valid] = signal
+    xi, xm = decoder._xcorr_core(jnp.asarray(sig), jnp.int32(n_valid), mode)
+    xstart = int(xi)
+    if float(xm) < sync.XCORR_THRESHOLD or xstart < 0:
+        return result
+    frame = np.asarray(signal[xstart:], np.float32)
+    n_sym = (len(frame) - 3 * sym) // sym
+    if n_sym <= 0:
+        return result
+    usable = 3 * sym + n_sym * sym
+    fdev = jnp.asarray(frame[:usable])
+    bits = np.asarray(decoder._chunk_core(fdev, mode, n_sym))[: n_sym * mode.bits_per_symbol]
+    b = majority_vote(bits, mode.repetition) if mode.repetition > 1 else bits
+    retry = parse_request(bytes(bits_to_bytes(b)))
+    if isinstance(retry, RequestFrame) and retry.crc_valid:
+        return retry
+    if decoder._soft_retry_applicable(mode):
+        soft = np.asarray(decoder._chunk_soft_core(fdev, mode, n_sym))
+        soft_b = soft_combine(soft, mode.repetition)
+        soft_retry = parse_request(bytes(bits_to_bytes(soft_b)))
+        if isinstance(soft_retry, RequestFrame) and soft_retry.crc_valid:
+            return soft_retry
+    return result

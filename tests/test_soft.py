@@ -102,6 +102,42 @@ class TestXcorrReacquisition:
         assert recovered >= 3, f"xcorr re-acquisition recovered only {recovered}/5"
 
 
+class TestArqRequestLadder:
+    def test_noisy_request_recovered_by_ladder(self):
+        """ARQ request decode walks the same ladder: somewhere in the noise
+        band a request that the plain decode path loses must be recovered
+        (xcorr re-acquisition and/or soft combining) with exact seqs."""
+        from audio_modem_tpu import arq, decoder
+
+        mode = MODES["BPSK-REPEAT"]
+        missing = [1, 5, 9, 1000]
+        frame = arq.build_request_frame(missing, mode)
+        # measured: plain decode 0/6 at <=0 dB while the ladder is 6/6
+        # (>3 dB of back-link sensitivity)
+        rescued = 0
+        for snr in (0.0, 1.0):
+            for seed in range(6):
+                noisy = channel.apply_channel_np(
+                    np.asarray(frame), channel.ChannelSpec(snr_db=snr), seed=seed
+                )
+                result = arq._decode_request(noisy, mode)
+                ok = isinstance(result, arq.RequestFrame) and result.crc_valid
+                if not ok:
+                    continue
+                assert list(result.missing) == missing
+                raw, _ = decoder.decode_raw(noisy, mode)
+                plain_ok = (
+                    not isinstance(raw, framing.FrameError)
+                    and isinstance(arq.parse_request(raw), arq.RequestFrame)
+                    and arq.parse_request(raw).crc_valid
+                )
+                if not plain_ok:
+                    rescued += 1
+            if rescued:
+                break
+        assert rescued > 0, "no ladder rescue found in request noise band"
+
+
 class TestSoftRetryEndToEnd:
     def test_chunk_soft_retry(self):
         """Across an AWGN band straddling the decode cliff, the soft retry
