@@ -34,18 +34,38 @@ def encode_legacy(
 
 
 def encode_chunked(
-    data: bytes, mode: str | ModemMode = "QPSK", file_name: str = "file", fec: bool = False
+    data: bytes,
+    mode: str | ModemMode = "QPSK",
+    file_name: str = "file",
+    fec: bool = False,
+    batch: int = 16,
 ) -> Iterator[np.ndarray]:
     """Chunked TX: yields metadata frame, then one frame per chunk
-    (playChunkedFrames, app.js:201-303). O(chunk) memory like the reference's
-    Blob.slice reads."""
+    (playChunkedFrames, app.js:201-303). O(batch * chunk) memory.
+
+    Data frames are synthesized in device-BATCHED groups of up to ``batch``
+    equal-length chunks per launch (framing.build_data_chunk_frames): the
+    reference builds frames one at a time only because it plays each in
+    real time (app.js:235-265); a batched launch amortizes dispatch and
+    keeps the TX matmul MXU-shaped. The final short chunk (if any) forms
+    its own group, so exactly two TX executables cover any file."""
     m = _resolve(mode)
     chunk_size = m.chunk_size
     total_chunks = -(-len(data) // chunk_size)
     yield framing.build_metadata_frame(total_chunks, len(data), chunk_size, file_name, m, fec=fec)
-    for seq in range(total_chunks):
-        chunk = data[seq * chunk_size : (seq + 1) * chunk_size]
-        yield framing.build_data_chunk_frame(chunk, seq, m, fec=fec)
+    seq = 0
+    while seq < total_chunks:
+        group: list[bytes] = []
+        while len(group) < batch and seq + len(group) < total_chunks:
+            i = seq + len(group)
+            chunk = data[i * chunk_size : (i + 1) * chunk_size]
+            if group and len(chunk) != len(group[0]):
+                break
+            group.append(chunk)
+        signals = framing.build_data_chunk_frames(group, seq, m, fec=fec)
+        for row in signals:
+            yield row
+        seq += len(group)
 
 
 def encode(

@@ -189,20 +189,20 @@ def _decode_request(signal: np.ndarray, mode: ModemMode) -> RequestFrame | frami
     xstart = int(xi)
     if float(xm) < sync.XCORR_THRESHOLD or xstart < 0:
         return result
-    frame = np.asarray(signal[xstart:], np.float32)
-    n_sym = (len(frame) - 3 * sym) // sym
-    if n_sym <= 0:
+    # symbol-count bucketing (decoder.pad_aligned_frame): an arbitrary
+    # xstart tail must not trigger a fresh 20-100 s remote compile per length
+    padded = decoder.pad_aligned_frame(np.asarray(signal[xstart:], np.float32), mode)
+    if isinstance(padded, framing.FrameError):
         return result
-    usable = 3 * sym + n_sym * sym
-    fdev = jnp.asarray(frame[:usable])
-    bits = np.asarray(decoder._chunk_core(fdev, mode, n_sym))[: n_sym * mode.bits_per_symbol]
+    fdev, n_sym, n_bucket = padded
+    bits = np.asarray(decoder._chunk_core(fdev, mode, n_bucket))[: n_sym * mode.bits_per_symbol]
     b = majority_vote(bits, mode.repetition) if mode.repetition > 1 else bits
     retry = parse_request(bytes(bits_to_bytes(b)))
     if isinstance(retry, RequestFrame) and retry.crc_valid:
         return retry
     if decoder._soft_retry_applicable(mode):
-        soft = np.asarray(decoder._chunk_soft_core(fdev, mode, n_sym))
-        soft_b = soft_combine(soft, mode.repetition)
+        soft = np.asarray(decoder._chunk_soft_core(fdev, mode, n_bucket))
+        soft_b = soft_combine(soft[: n_sym * mode.bits_per_symbol], mode.repetition)
         soft_retry = parse_request(bytes(bits_to_bytes(soft_b)))
         if isinstance(soft_retry, RequestFrame) and soft_retry.crc_valid:
             return soft_retry

@@ -60,13 +60,22 @@ def _core_dispatch(
     decision-identical (tests/test_kernels.py)."""
     from audio_modem_tpu.kernels import kernels_enabled
 
-    use_kernel = kernels_enabled()
-    if use_kernel:
-        from audio_modem_tpu.kernels.receive import decode_fused, fused_receive_fits
+    kernel_fn = None
+    if kernels_enabled():
+        from audio_modem_tpu.kernels.receive import (
+            decode_fused,
+            decode_long_fused,
+            fused_receive_fits,
+        )
 
-        use_kernel = fused_receive_fits(signal.shape[-1], mode, max_syms)
-    if use_kernel:
-        out = decode_fused(
+        if fused_receive_fits(signal.shape[-1], mode, max_syms):
+            kernel_fn = decode_fused
+        elif jax.default_backend() == "tpu":
+            # long frames: XLA front-end + streaming demod kernel (the
+            # VMEM-resident kernel's gate no longer exiles them to pure XLA)
+            kernel_fn = decode_long_fused
+    if kernel_fn is not None:
+        out = kernel_fn(
             signal[None],
             jnp.asarray([n_valid], jnp.int32),
             jnp.asarray([min_pos], jnp.int32),
@@ -224,7 +233,7 @@ def _tracked_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray,
 
 
 def decode_raw(
-    signal: np.ndarray, mode: ModemMode, track_timing: bool = False, min_pos: int = 0
+    signal: np.ndarray, mode: ModemMode, track_timing: bool = False
 ) -> tuple[bytes | FrameError, DecodeInfo | None]:
     """Full-signal sync + demod -> raw payload BYTES (repetition undone,
     packed), before any frame-type parse. The public path for every
@@ -242,8 +251,7 @@ def decode_raw(
     sig[:n_valid] = signal
     sig_dev = jnp.asarray(sig)
 
-    min_pos, coarse, start, fine_metric = int(min_pos), -1, -1, -np.inf
-    first_pass = min_pos == 0
+    min_pos, coarse, start, fine_metric = 0, -1, -1, -np.inf
     bits = ch_re = ch_im = None
     for _ in range(4):
         coarse_t, start_t, metric_t, bits, ch_re, ch_im = _core_dispatch(
@@ -251,7 +259,7 @@ def decode_raw(
         )
         coarse = int(coarse_t)
         if coarse < 0:
-            if first_pass and fine_metric == -np.inf:
+            if fine_metric == -np.inf:
                 return FrameError("Preamble not detected"), None
             break
         start, fine_metric = int(start_t), float(metric_t)
@@ -309,7 +317,7 @@ def decode_signal(
     decoded aligned at the xcorr winner (no autocorr gate), with the
     chunk decoder's own soft/FEC retry ladder behind it.
     """
-    result, info = _decode_signal_once(signal, mode, track_timing, 0)
+    result, info = _decode_signal_once(signal, mode, track_timing)
     if not _parse_failed(result):
         return result, info
     p = mode.profile
@@ -332,9 +340,9 @@ def decode_signal(
 
 
 def _decode_signal_once(
-    signal: np.ndarray, mode: ModemMode, track_timing: bool, min_pos: int
+    signal: np.ndarray, mode: ModemMode, track_timing: bool
 ) -> tuple[ParseResult, DecodeInfo | None]:
-    raw, info = decode_raw(signal, mode, track_timing=track_timing, min_pos=min_pos)
+    raw, info = decode_raw(signal, mode, track_timing=track_timing)
     if isinstance(raw, FrameError):
         return raw, info
     result = parse_payload_bytes(raw, min_len=10)
@@ -382,9 +390,23 @@ def _decode_signal_once(
     return result, info
 
 
-def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
-    """Decode a frame whose sample 0 is the preamble1 start
-    (modem.js:770-803). Used by the streaming receiver after sync."""
+SYM_BUCKET = 16
+
+
+def pad_aligned_frame(
+    frame: np.ndarray, mode: ModemMode
+) -> "tuple[jnp.ndarray, int, int] | FrameError":
+    """Zero-pad a sync-aligned frame onto the symbol-count bucket grid.
+
+    Returns (frame_dev [3*sym + n_bucket*sym], n_sym, n_bucket). The jitted
+    demod cores take the symbol count as a static shape; retry and
+    re-acquisition paths slice frames at arbitrary positions, so without
+    bucketing every distinct tail length is a fresh executable — and each
+    fresh compile costs 20-100 s through this image's remote-compile relay.
+    Rounding the symbol count up to SYM_BUCKET caps the executables per mode
+    at a handful; per-symbol demod is independent, so the extra zero-padded
+    symbols change nothing (the callers truncate to n_sym, mirroring the
+    reference's junk-tail tolerance, modem.js:368)."""
     p = mode.profile
     sym = p.symbol_len
     if 3 * sym > len(frame):
@@ -392,13 +414,27 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
     n_sym = (len(frame) - 3 * sym) // sym
     if n_sym <= 0:
         return FrameError("No data after CE")
-    usable = 3 * sym + n_sym * sym
-    frame_dev = jnp.asarray(frame[:usable], dtype=jnp.float32)
-    bits = _chunk_core(frame_dev, mode, n_sym)
+    n_bucket = -(-n_sym // SYM_BUCKET) * SYM_BUCKET
+    usable = 3 * sym + n_bucket * sym
+    buf = np.zeros(usable, np.float32)
+    keep = min(len(frame), usable)
+    buf[:keep] = frame[:keep]
+    return jnp.asarray(buf), n_sym, n_bucket
+
+
+def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
+    """Decode a frame whose sample 0 is the preamble1 start
+    (modem.js:770-803). Used by the streaming receiver after sync."""
+    padded = pad_aligned_frame(frame, mode)
+    if isinstance(padded, FrameError):
+        return padded
+    frame_dev, n_sym, n_bucket = padded
+    bits = _chunk_core(frame_dev, mode, n_bucket)
     result = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6)
     if _parse_failed(result) and _soft_retry_applicable(mode):
         # soft repetition-combining retry (see decode_signal)
-        soft = np.asarray(_chunk_soft_core(frame_dev, mode, n_sym))
+        soft = np.asarray(_chunk_soft_core(frame_dev, mode, n_bucket))
+        soft = soft[: n_sym * mode.bits_per_symbol]
         soft_raw = bytes(bits_to_bytes(soft_combine(soft, mode.repetition)))
         soft_result = parse_payload_bytes(soft_raw, min_len=6)
         if not _parse_failed(soft_result):
@@ -407,12 +443,19 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
         b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
         if mode.repetition > 1:
             b = majority_vote(b, mode.repetition)
-        evm = np.asarray(_chunk_evm_core(frame_dev, mode, n_sym))
+        evm = np.asarray(_chunk_evm_core(frame_dev, mode, n_bucket))[:n_sym]
         flags = _byte_erasures(evm, mode, _fec_region_bytes(bits_to_bytes(b)))
         if flags is not None:
             retry = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6, erasures=flags)
             if not isinstance(retry, FrameError):
                 return retry
+    if _parse_failed(result):
+        # timing-tracked retry: within-frame clock drift (reference
+        # incapacity, modem.js:397-405) — last rung of the chunk ladder
+        tbits = np.asarray(_chunk_tracked_core(frame_dev, mode, n_bucket))
+        tresult = _bits_to_parse(tbits, n_sym, mode, min_len=6)
+        if not _parse_failed(tresult):
+            return tresult
     return result
 
 
@@ -443,6 +486,28 @@ def _chunk_evm_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndar
     ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
     data = frame[3 * sym :].reshape(n_sym, sym)
     return phy.symbol_evm(data, ch_re, ch_im, mode)
+
+
+TRACK_BLOCK_SYMS = 8
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def _chunk_tracked_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    """Timing-tracked demod of a sync-aligned frame — the chunk-path analog
+    of _tracked_core. Recovers frames whose WITHIN-frame clock drift walks
+    the fixed symbol windows off the CP (e.g. an 11 s narrowband chunk at
+    100 ppm drifts ~50 samples head-to-tail; the reference's phase-only
+    pilot correction, modem.js:397-405, cannot follow that). Small tracking
+    blocks (8 symbols) let the second-order loop acquire within even a
+    ~46-symbol QPSK chunk frame."""
+    p = mode.profile
+    sym = p.symbol_len
+    ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
+    ext = jnp.pad(frame, (0, TRACK_BLOCK_SYMS * sym + 8192))
+    bits, _tau = phy.demodulate_tracked(
+        ext, jnp.int32(3 * sym), n_sym, ch_re, ch_im, mode, block_syms=TRACK_BLOCK_SYMS
+    )
+    return bits
 
 
 def _bits_to_parse(

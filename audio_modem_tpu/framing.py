@@ -297,6 +297,80 @@ def synthesize_frame(payload: bytes, mode: ModemMode, silence_pre: int, silence_
     return np.asarray(_synth_frame(jnp.asarray(bits), mode, silence_pre, silence_post))
 
 
+@partial(jax.jit, static_argnames=("mode", "n_sym", "silence_pre", "silence_post"))
+def _synth_frames_core(
+    payloads_u8: jnp.ndarray, mode: ModemMode, n_sym: int, silence_pre: int, silence_post: int
+) -> jnp.ndarray:
+    """[B, n_bytes] payload bytes -> [B, total_len] frame signals, batched.
+
+    The TX peer of the batched receive pipeline: MSB-first bit unpack,
+    repetition coding, constellation mapping, the fused TX contraction
+    (pilots + Hermitian IFFT + CP folded into one [2*n_data, symbol_len]
+    matmul), preamble/CE header assembly, and per-frame 0.8 peak
+    normalization all run on device in ONE executable over the frame batch.
+    Host work is reduced to protocol byte packing. Replaces the reference's
+    one-frame-at-a-time builder (modem.js:718-766 driving modem.js:322-362),
+    which built frames serially because it played them in real time.
+
+    Silence is synthesized as zero padding (modem.js:529-541); each frame is
+    normalized independently, matching buildChunkOFDMFrame's per-frame norm.
+    """
+    p = mode.profile
+    sym = p.symbol_len
+    b, n_bytes = payloads_u8.shape
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = ((payloads_u8[:, :, None] >> shifts) & jnp.uint8(1)).reshape(b, n_bytes * 8)
+    if mode.repetition > 1:
+        bits = jnp.repeat(bits, mode.repetition, axis=-1)
+    n_bits = n_sym * mode.bits_per_symbol
+    bits = jnp.pad(bits, ((0, 0), (0, n_bits - bits.shape[1])))  # modem.js:329
+    syms = phy.modulate(bits, mode)  # [B, n_sym, symbol_len]
+    header = np.concatenate([p.preamble1, p.preamble2, p.ce_symbol])
+    body = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(header), (b, 3 * sym)), syms.reshape(b, -1)], axis=-1
+    )
+    mx = jnp.abs(body).max(axis=-1, keepdims=True)
+    body = jnp.where(mx > 0, body * (0.8 / jnp.where(mx > 0, mx, 1.0)), body)
+    return jnp.pad(body, ((0, 0), (silence_pre, silence_post)))
+
+
+def synthesize_frames(
+    payloads: "list[bytes]", mode: ModemMode, silence_pre: int, silence_post: int
+) -> np.ndarray:
+    """Batched frame synthesis for EQUAL-LENGTH payloads -> [B, total_len].
+
+    One device call for the whole batch (see _synth_frames_core). Payload
+    lengths must match: the symbol count is a static jit shape, and mixing
+    lengths in one launch would force per-row masking for no benefit — the
+    chunked sender's frames are naturally uniform except the final chunk.
+    """
+    n_bytes = len(payloads[0])
+    if any(len(pl) != n_bytes for pl in payloads):
+        raise ValueError("synthesize_frames requires equal-length payloads")
+    u8 = np.frombuffer(b"".join(payloads), np.uint8).reshape(len(payloads), n_bytes)
+    n_sym = num_symbols_for_payload(n_bytes, mode)
+    return np.asarray(
+        _synth_frames_core(jnp.asarray(u8), mode, n_sym, silence_pre, silence_post)
+    )
+
+
+def build_data_chunk_frames(
+    chunks: "list[bytes]", first_seq: int, mode: ModemMode, fec: bool = False
+) -> np.ndarray:
+    """Batched data-frame TX: consecutive equal-length chunks starting at
+    ``first_seq`` -> [B, total_len] signals (the batched analog of
+    build_data_chunk_frame; modem.js:763-766)."""
+    p = mode.profile
+    payloads = [
+        build_data_chunk_payload(chunk, first_seq + i) for i, chunk in enumerate(chunks)
+    ]
+    if fec:
+        payloads = [wrap_fec(pl) for pl in payloads]
+    return synthesize_frames(
+        payloads, mode, p.silence_pre_chunk(False), p.silence_post_chunk()
+    )
+
+
 def build_transmit_signal(file_data: bytes, mode: ModemMode, file_name: str, fec: bool = False) -> np.ndarray:
     """Legacy single-frame TX (modem.js:498-555); fec wraps the payload in
     RS(255,223) (extension)."""

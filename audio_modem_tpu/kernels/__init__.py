@@ -3,8 +3,7 @@
 receive.py fuses the ENTIRE receive pipeline (preprocess, Schmidl-Cox scan
 with first-peak commit, Toeplitz xcorr refinement, channel estimation, EQ,
 pilot phase, demap, bit packing) into one VMEM-resident pass per 8-stream
-tile — bits in HBM are the only large output. detect.py / frontend.py are
-the earlier partial fusions, kept as kernel-level unit-test surfaces.
+tile — bits in HBM are the only large output.
 
 Selection: kernels_enabled() gates the fused path in decoder.decode_signal
 and parallel.batch.batch_decode_signals — on by default on TPU backends,

@@ -8,8 +8,8 @@ single VMEM-resident pass per 8-stream tile. The signal is read from HBM
 once; what comes back is five scalars per stream, the channel estimate, and
 the payload bits packed 16-per-float32-word (~25x smaller than the input).
 This removes the preprocessed-batch HBM writeback that bounded the round-1
-front-end kernel at XLA parity (kernels/frontend.py:17-26) AND the whole
-XLA CE/demod stage after it.
+partial-fusion front-end kernel at XLA parity AND the whole XLA CE/demod
+stage after it.
 
 Reference hot loops subsumed (see docstrings in sync.py / phy.py for the
 semantics): detectPreamble modem.js:286-319, fine xcorr modem.js:567-588,
@@ -301,9 +301,10 @@ def fused_receive_fits(t: int, mode: ModemMode, max_syms: int) -> bool:
     approaches the per-core VMEM ceiling and the Mosaic compile time blows
     up (observed: a 500k-sample narrowband frame compiles >20 min through
     the remote relay; a 173k acoustic frame compiles in seconds). Callers
-    route frames that don't fit to the XLA pipeline — decision-identical,
-    and HBM-resident so length-insensitive (e.g. the ~7.3M-sample 32 KB
-    legacy frame, BASELINE config 2)."""
+    route frames that don't fit to decode_long_fused on TPU (XLA front-end
+    + the gridded streaming demod kernel, length-unbounded) and to the XLA
+    pipeline elsewhere — both decision-identical (e.g. the ~7.3M-sample
+    32 KB legacy frame, BASELINE config 2)."""
     profile = mode.profile
     sym = profile.symbol_len
     g_syms = _group_syms(sym, max_syms)
@@ -526,9 +527,9 @@ def _receive_kernel(
         r = start_i - lo_s
         a0 = pre_ref[pl.ds(i, 1), pl.ds(lo_s, l_al)][0].reshape(k_al, _LANE)
         a1 = pre_ref[pl.ds(i, 1), pl.ds(lo_s + _LANE, l_al)][0].reshape(k_al, _LANE)
-        m0 = (lane_src == lane_dst + r).astype(jnp.float32)
-        m1 = (lane_src == lane_dst + r - _LANE).astype(jnp.float32)
-        shifted = _dot_exact3(a0, m0) + _dot_exact3(a1, m1)
+        ms0 = (lane_src == lane_dst + r).astype(jnp.float32)
+        ms1 = (lane_src == lane_dst + r - _LANE).astype(jnp.float32)
+        shifted = _dot_exact3(a0, ms0) + _dot_exact3(a1, ms1)
         al_ref[pl.ds(i, 1), :] = shifted.reshape(1, l_al)
 
     start_ref[...] = jnp.stack(starts).reshape(_ROWS, 1)
@@ -625,6 +626,229 @@ def _chunk_kernel(
         return carry
 
     jax.lax.fori_loop(0, n_groups, demod_group, 0)
+
+
+def _chunk_stream_kernel(
+    data_ref, ch_ref, scale_ref, rx_ref, pack_ref, words_ref, body_ref,
+    *, mode: ModemMode, g_syms: int,
+):
+    """One grid step of the STREAMING demod kernel: demodulate one
+    ``g_syms``-symbol group of one 8-stream tile.
+
+    Unlike _chunk_kernel (whole frame resident in VMEM), the frame stays in
+    HBM and Pallas's grid pipeline DMAs successive [8, g_syms*sym] data
+    blocks in (double-buffered automatically across grid steps), so VMEM
+    footprint is O(block) and FRAME LENGTH IS UNBOUNDED — this is what lifts
+    the VMEM exile of long frames (512 B narrowband chunks ~500 k samples,
+    the ~7.3 M-sample 32 KB legacy frame; VERDICT r2 item 3). The per-frame
+    scale and the sectioned channel estimate arrive precomputed (same
+    dot_bf16x3 formulation, evaluated in the XLA prologue)."""
+    profile = mode.profile
+    g = _geometry(profile)
+    sym = profile.symbol_len
+    fft = profile.fft_size
+    nd_pad, np_pad = g["nd_pad"], g["np_pad"]
+    chunk = data_ref[...] * scale_ref[...]
+    for k in range(g_syms):
+        body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[:, k * sym : k * sym + fft]
+    spec = dot_bf16x3(body_ref[...], rx_ref[...])
+    tiled = _tiled_channel(ch_ref[...], g_syms, nd_pad, np_pad)
+    words = _eq_demap_pack(spec, *tiled, pack_ref[...], mode, nd_pad, np_pad)
+    for k in range(g_syms):
+        words_ref[:, pl.ds(k * _LANE, _LANE)] = words[k * _ROWS : (k + 1) * _ROWS]
+
+
+def _stream_demod_words(
+    data: jnp.ndarray,
+    ch: jnp.ndarray,
+    scale: jnp.ndarray,
+    mode: ModemMode,
+    n_sym: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Run the gridded streaming demod kernel.
+
+    data: [B, >= syms_padded*sym] region starting at the first data symbol's
+    CP-stripped body (frame offset 3*sym + cp); ch: [B, SECT] sectioned
+    channel; scale: [B, 1] per-frame amplitude scale. Returns packed words
+    [B, syms_padded * 128]."""
+    profile = mode.profile
+    b = data.shape[0]
+    sym = profile.symbol_len
+    g_syms = _group_syms(sym, n_sym)
+    n_groups = -(-n_sym // g_syms)
+    chunk_len = g_syms * sym
+    need = n_groups * chunk_len
+    if data.shape[1] < need:
+        data = jnp.pad(data, ((0, 0), (0, need - data.shape[1])))
+    data = data[:, :need]
+    rx = jnp.asarray(_rx_sections(profile))
+    pack = jnp.asarray(_pack_matrix(mode))
+    sect = rx.shape[1]
+
+    kernel = pl.pallas_call(
+        partial(_chunk_stream_kernel, mode=mode, g_syms=g_syms),
+        grid=(b // _ROWS, n_groups),
+        in_specs=[
+            pl.BlockSpec((_ROWS, chunk_len), lambda i, g: (i, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, sect), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 1), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rx.shape, lambda i, g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pack.shape, lambda i, g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROWS, g_syms * _LANE), lambda i, g: (i, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_groups * g_syms * _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_ROWS * g_syms, profile.fft_size), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    return kernel(data.astype(jnp.float32), ch, scale, rx, pack)
+
+
+def _words_to_bits(words: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+    """Packed words [B, >= n_sym*128] -> hard bits [B, n_sym*bits_per_symbol]."""
+    g = _geometry(mode.profile)
+    b = words.shape[0]
+    nd = g["nd"]
+    bps = mode.bps
+    n_words = -(-(nd * bps) // 16)
+    w = words.reshape(b, -1, _LANE)[:, :n_sym, :n_words].astype(jnp.int32)
+    shifts = jnp.arange(15, -1, -1, dtype=jnp.int32)
+    bits = ((w[..., None] >> shifts) & 1).astype(jnp.int8)
+    bits = bits.reshape(b, n_sym, n_words * 16)[:, :, : nd * bps]
+    return bits.reshape(b, n_sym * nd * bps)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym", "interpret"))
+def decode_chunks_fused_stream(
+    frames: jnp.ndarray,
+    mode: ModemMode,
+    n_sym: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Length-unbounded fused chunk decode: [B, >=(3+n_sym)*sym] frames ->
+    hard bits [B, n_sym*bits_per_symbol] int8.
+
+    Same contract as decode_chunks_fused, but the frame never enters VMEM
+    whole: the XLA prologue computes the per-frame peak scale and the
+    sectioned CE (with the SAME dot_bf16x3 formulation as the resident
+    kernel, so the two kernel paths and the XLA path stay
+    decision-identical), and the gridded _chunk_stream_kernel demodulates
+    symbol-group blocks with double-buffered HBM DMA."""
+    profile = mode.profile
+    b, t = frames.shape
+    if b % _ROWS:
+        pad = _ROWS - b % _ROWS
+        return decode_chunks_fused_stream(
+            jnp.pad(frames, ((0, pad), (0, 0))), mode, n_sym, interpret
+        )[:b]
+    sym = profile.symbol_len
+    cp = profile.cp_len
+    frames = frames.astype(jnp.float32)
+    mx = jnp.abs(frames).max(axis=-1, keepdims=True)
+    scale = jnp.where(mx > 1e-6, 1.0 / jnp.where(mx > 1e-6, mx, 1.0), 1.0)
+    rx = jnp.asarray(_rx_sections(profile))
+    kn = jnp.asarray(_ce_known_row(profile))
+    need_head = 3 * sym
+    if t < need_head:
+        frames = jnp.pad(frames, ((0, 0), (0, need_head - t)))
+    body_ce = frames[:, 2 * sym + cp : 3 * sym] * scale
+    ch = dot_bf16x3(body_ce, rx) * kn
+    data = frames[:, 3 * sym + cp :]
+    words = _stream_demod_words(data, ch, scale, mode, n_sym, interpret)
+    return _words_to_bits(words, mode, n_sym)
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms", "interpret"))
+def decode_long_fused(
+    signals: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+    interpret: bool = False,
+) -> dict:
+    """Full-pipeline decode for frames past the resident kernel's VMEM gate:
+    XLA front-end (preprocess + strided Schmidl-Cox detect + Toeplitz xcorr
+    refine + dynamic-slice re-align — all HBM-resident, length-insensitive)
+    feeding the STREAMING demod kernel, where the FLOPs of a long frame
+    actually live. Same output contract as decode_fused; decision-identical
+    to the XLA pipeline on CPU/interpret (the front-end IS the XLA
+    formulation; demod shares the bf16x3 DFT)."""
+    from audio_modem_tpu import sync as _sync
+
+    profile = mode.profile
+    g = _geometry(profile)
+    b, t = signals.shape
+    if b % _ROWS:
+        pad = _ROWS - b % _ROWS
+        out = decode_long_fused(
+            jnp.pad(signals, ((0, pad), (0, 0))),
+            jnp.pad(jnp.asarray(n_valid, jnp.int32), (0, pad)),
+            jnp.pad(jnp.asarray(min_pos, jnp.int32), (0, pad)),
+            mode,
+            max_syms,
+            interpret,
+        )
+        return {k: v[:b] for k, v in out.items()}
+
+    sym = profile.symbol_len
+    cp = profile.cp_len
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    min_pos = jnp.asarray(min_pos, jnp.int32)
+    sig = _sync.preprocess(signals, n_valid)
+    al_len = (3 + max_syms) * sym
+    ext = jnp.pad(sig, ((0, 0), (0, al_len)))
+
+    def front(s, nv, mp):
+        coarse, cmetric = _sync.detect_preamble(
+            s, profile, nv, min_pos=mp, stride=COARSE_STRIDE
+        )
+        start, fine_metric = _sync.refine_xcorr(s, jnp.maximum(coarse, 0), profile, nv)
+        aligned = jax.lax.dynamic_slice(s, (start,), (al_len,))
+        return coarse, cmetric, start, fine_metric, aligned
+
+    coarse, cmetric, start, fine, aligned = jax.vmap(front)(ext, n_valid, min_pos)
+
+    rx = jnp.asarray(_rx_sections(profile))
+    kn = jnp.asarray(_ce_known_row(profile))
+    ch = dot_bf16x3(aligned[:, 2 * sym + cp : 3 * sym], rx) * kn
+    ones = jnp.ones((b, 1), jnp.float32)  # preprocess already normalized
+    words = _stream_demod_words(aligned[:, 3 * sym + cp :], ch, ones, mode, max_syms, interpret)
+    bits = _words_to_bits(words, mode, max_syms)
+
+    pilot_mask = profile.pilot_mask_active
+    nd, npi = g["nd"], g["npi"]
+    nd_pad, np_pad = g["nd_pad"], g["np_pad"]
+    n_active = profile.num_active_subs
+    dpos = jnp.asarray(np.nonzero(~pilot_mask)[0])
+    ppos = jnp.asarray(np.nonzero(pilot_mask)[0])
+    ch_re = (
+        jnp.zeros((b, n_active), jnp.float32)
+        .at[:, dpos].set(ch[:, :nd])
+        .at[:, ppos].set(ch[:, 2 * nd_pad : 2 * nd_pad + npi])
+    )
+    ch_im = (
+        jnp.zeros((b, n_active), jnp.float32)
+        .at[:, dpos].set(ch[:, nd_pad : nd_pad + nd])
+        .at[:, ppos].set(ch[:, 2 * nd_pad + np_pad : 2 * nd_pad + np_pad + npi])
+    )
+    from audio_modem_tpu.sync import XCORR_THRESHOLD
+
+    return {
+        "start": start,
+        "coarse": coarse,
+        "coarse_metric": cmetric,
+        "fine_metric": fine,
+        "detected": (coarse >= 0) & (fine >= XCORR_THRESHOLD),
+        "bits": bits,
+        "ch_re": ch_re,
+        "ch_im": ch_im,
+    }
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym", "interpret"))

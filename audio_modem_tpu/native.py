@@ -69,15 +69,24 @@ def ema_dc_removal(x: np.ndarray, alpha: float, dc_state: float) -> tuple[np.nda
     lib = _load()
     x = np.ascontiguousarray(x, dtype=np.float32)
     if lib is None:
-        # closed-form vectorized fallback (bounded exponents for block sizes)
+        # Closed-form vectorized fallback, chunked: alpha**-i overflows to
+        # inf once i * -ln(alpha) exceeds ~709 (i ≈ 700k at alpha=0.999), so
+        # the closed form runs per 65536-sample chunk with the state carried.
         n = len(x)
         if n == 0:
             return x, dc_state
-        powers = alpha ** np.arange(1, n + 1, dtype=np.float64)
-        inv = alpha ** -np.arange(n, dtype=np.float64)
-        weighted = np.cumsum(x.astype(np.float64) * inv)
-        dc = powers * dc_state + (1 - alpha) * (powers / alpha) * weighted
-        return (x - dc).astype(np.float32), float(dc[-1])
+        out = np.empty_like(x)
+        CHUNK = 65536
+        for off in range(0, n, CHUNK):
+            xc = x[off : off + CHUNK].astype(np.float64)
+            m = len(xc)
+            powers = alpha ** np.arange(1, m + 1, dtype=np.float64)
+            inv = alpha ** -np.arange(m, dtype=np.float64)
+            weighted = np.cumsum(xc * inv)
+            dc = powers * dc_state + (1 - alpha) * (powers / alpha) * weighted
+            out[off : off + m] = (xc - dc).astype(np.float32)
+            dc_state = float(dc[-1])
+        return out, dc_state
     y = np.empty_like(x)
     state = ctypes.c_double(dc_state)
     lib.ema_dc_removal(

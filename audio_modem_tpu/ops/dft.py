@@ -13,10 +13,12 @@ restricted to the active bins:
       -> one [batch, N] @ [N, 2*n_active] matmul.
 
 This is exact (it IS the DFT), keeps every symbol in one MXU contraction, and
-batches over (streams x frames x symbols) for free. Matmuls run at HIGHEST
-precision so float32 results hold to ~1e-6 — decisions are thresholded with
-wide margin (the f64->f32 cast at the reference's addCP already bounds
-waveform agreement at ~1e-7).
+batches over (streams x frames x symbols) for free. Precision: the TX
+direction runs at HIGHEST (float32 to ~1e-6, the waveform contract); the RX
+direction (time_to_spec / time_to_spec_bins) runs the 3-pass bf16 split
+dot_bf16x3 (~1e-5 relative, lo*lo term dropped) shared with the Pallas
+kernel so both receive paths stay decision-identical — RX decisions are
+thresholded with margin far above 1e-5.
 """
 
 from __future__ import annotations

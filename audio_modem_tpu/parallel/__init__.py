@@ -8,6 +8,14 @@ this domain (there is no model with weights), which we state rather than
 invent. Cross-chip communication is limited to final metric reductions
 (psum-style all-reduce), exactly as the physics of independent audio streams
 dictates.
+
+Fabric placement (scaling-book recipe): the stream batch shards over ICI
+within a host — zero steady-state cross-chip traffic since streams are
+independent — while DCN carries only multi-host batch INGEST (each host
+feeds its locally captured streams; there is no resharding) and the tiny
+result collectives. multihost.py runs this as a real
+jax.distributed.initialize cluster (N processes x M devices, one global
+mesh) and is exercised by __graft_entry__.dryrun_multihost.
 """
 
 from audio_modem_tpu.parallel.mesh import make_mesh, shard_batch

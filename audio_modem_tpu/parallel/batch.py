@@ -33,11 +33,44 @@ def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) 
     from audio_modem_tpu.kernels import kernels_enabled
 
     if kernels_enabled():
-        from audio_modem_tpu.kernels.receive import decode_chunks_fused, fused_chunks_fits
+        from audio_modem_tpu.kernels.receive import (
+            decode_chunks_fused,
+            decode_chunks_fused_stream,
+            fused_chunks_fits,
+        )
 
         if fused_chunks_fits(frames.shape[-1], mode, n_sym):
             return decode_chunks_fused(frames, mode, n_sym)
+        if jax.default_backend() == "tpu":
+            # past the VMEM-resident gate: the gridded streaming kernel
+            # (double-buffered HBM DMA, frame length unbounded)
+            return decode_chunks_fused_stream(frames, mode, n_sym)
     return _batch_decode_chunk_frames_xla(frames, mode, n_sym)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym"))
+def batch_decode_chunk_frames_packed(
+    frames: jnp.ndarray, mode: ModemMode, n_sym: int
+) -> jnp.ndarray:
+    """Frame-aligned batch decode to PACKED BYTES: [B, frame] -> [B, n_bytes]
+    uint8, with repetition majority-vote and MSB-first bit packing fused
+    onto the device program as an epilogue.
+
+    This is the BatchReceiver's demod call: moving vote+pack on-device
+    shrinks the D2H transfer 8x (32x for x3-repetition modes, through the
+    ~28 ms-RTT tunnel) and removes the per-frame host numpy bit work that
+    VERDICT r2 flagged as the scale path's bottleneck candidate
+    (reference equivalent: majorityVote + bitsToBytes per frame on the JS
+    main thread, modem.js:487-495, 468-476). The kernel-vs-XLA dispatch
+    happens at trace time inside this jit, so scan+vote+pack is ONE device
+    dispatch per frame group."""
+    from audio_modem_tpu.ops.bits import jnp_bits_to_bytes, jnp_majority_vote
+
+    bits = batch_decode_chunk_frames(frames, mode, n_sym)
+    b = bits[:, : n_sym * mode.bits_per_symbol]
+    if mode.repetition > 1:
+        b = jnp_majority_vote(b, mode.repetition)
+    return jnp_bits_to_bytes(b)
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
@@ -89,12 +122,18 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
     from audio_modem_tpu.kernels import kernels_enabled
 
     if kernels_enabled():
-        from audio_modem_tpu.kernels.receive import decode_fused, fused_receive_fits
+        from audio_modem_tpu.kernels.receive import (
+            decode_fused,
+            decode_long_fused,
+            fused_receive_fits,
+        )
 
+        zeros = jnp.zeros(signals.shape[0], jnp.int32)
         if fused_receive_fits(signals.shape[-1], mode, max_syms):
-            return decode_fused(
-                signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32), mode, max_syms
-            )
+            return decode_fused(signals, n_valid, zeros, mode, max_syms)
+        if jax.default_backend() == "tpu":
+            # long frames: XLA front-end + streaming demod kernel
+            return decode_long_fused(signals, n_valid, zeros, mode, max_syms)
     return _batch_decode_signals_xla(signals, n_valid, mode, max_syms)
 
 

@@ -27,8 +27,8 @@ import numpy as np
 
 from audio_modem_tpu import decoder, framing, native, sync
 from audio_modem_tpu.configs import ModemMode
-from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote, soft_combine
-from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames
+from audio_modem_tpu.ops.bits import bits_to_bytes, soft_combine
+from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames_packed
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
 from audio_modem_tpu.runtime.ring import RingBuffer
@@ -75,16 +75,23 @@ class BatchReceiver:
         resume: bool = False,
         dc_alpha: float = 0.999,
         fec: bool = False,
+        scan_bucket: int = SCAN_BUCKET,
     ):
         self.mode = mode
         self.fec = fec
         self.n = n_streams
+        # Scan-call granularity: each _scan_all dispatch covers up to
+        # (scan_bucket - fft) positions per stream. Larger buckets amortize
+        # the per-dispatch floor (~3-4 ms through the axon tunnel) when the
+        # caller feeds big blocks; the default matches the 4096-sample
+        # real-time block cadence.
+        self.scan_bucket = int(scan_bucket)
         p = mode.profile
         max_payload = max(mode.chunk_size, 4096) + 16
         if fec:
             max_payload = framing.fec_wire_len(max_payload)
         max_frame = framing.estimate_frame_samples(max_payload, mode)
-        cap = max_frame * 3 + 8192
+        cap = max_frame * 3 + max(8192, self.scan_bucket)
         self.streams = [
             _Stream(
                 cap,
@@ -126,7 +133,7 @@ class BatchReceiver:
 
     def _scan_all(self) -> bool:
         p = self.mode.profile
-        windows = np.zeros((self.n, SCAN_BUCKET), np.float32)
+        windows = np.zeros((self.n, self.scan_bucket), np.float32)
         lens = np.zeros(self.n, np.int32)
         active = []
         for i, s in enumerate(self.streams):
@@ -137,7 +144,7 @@ class BatchReceiver:
             scan_end = total - 2 * self._half
             if s.scan_pos > scan_end:
                 continue
-            n_pos = min(scan_end - s.scan_pos + 1, SCAN_BUCKET - 2 * self._half)
+            n_pos = min(scan_end - s.scan_pos + 1, self.scan_bucket - 2 * self._half)
             win_len = n_pos + 2 * self._half - 1
             w = s.ring.get_range(s.scan_pos, win_len)
             if w is None:
@@ -239,20 +246,19 @@ class BatchReceiver:
                 ok_members.append((row, i))
             if not ok_members:
                 continue
-            bits = np.asarray(
-                batch_decode_chunk_frames(jnp.asarray(frames), self.mode, n_sym)
+            # ONE device dispatch per group: decode + majority vote + bit
+            # packing fused (batch_decode_chunk_frames_packed); D2H is the
+            # decoded byte matrix, 8-32x smaller than bits.
+            by_rows = np.asarray(
+                batch_decode_chunk_frames_packed(jnp.asarray(frames), self.mode, n_sym)
             )
             for row, i in ok_members:
-                self._route(self.streams[i], bits[row], n_sym, frames[row])
+                self._route(self.streams[i], by_rows[row].tobytes(), n_sym, frames[row])
         return True
 
     def _route(
-        self, s: _Stream, bits: np.ndarray, n_sym: int, frame: np.ndarray | None = None
+        self, s: _Stream, by: bytes, n_sym: int, frame: np.ndarray | None = None
     ) -> None:
-        b = bits[: n_sym * self.mode.bits_per_symbol]
-        if self.mode.repetition > 1:
-            b = majority_vote(b, self.mode.repetition)
-        by = bits_to_bytes(b)
         result = framing.parse_payload_bytes(by, min_len=6)
         if (
             frame is not None
@@ -277,6 +283,14 @@ class BatchReceiver:
                 retry = framing.parse_payload_bytes(by, min_len=6, erasures=flags)
                 if not isinstance(retry, framing.FrameError):
                     result = retry
+        if frame is not None and decoder._parse_failed(result):
+            # timing-tracked retry (see decoder.decode_chunk_frame)
+            tbits = np.asarray(
+                decoder._chunk_tracked_core(jnp.asarray(frame), self.mode, n_sym)
+            )
+            tresult = decoder._bits_to_parse(tbits, n_sym, self.mode, min_len=6)
+            if not decoder._parse_failed(tresult):
+                result = tresult
         resume_pos = None
         if isinstance(result, framing.FrameError):
             s.stats.frame_errors += 1

@@ -253,10 +253,12 @@ def demodulate_tracked(
 
     n_blocks = -(-n_sym // block_syms)
     jloc = jnp.arange(block_syms, dtype=jnp.float32)
-    g1, g2 = 0.5, 0.25
     two_pi = 2.0 * np.pi
 
-    def step(carry, b):
+    def make_step(g1, g2):
+        return lambda carry, b: _step(carry, b, g1, g2)
+
+    def _step(carry, b, g1, g2):
         tau, rate = carry
         off = tau + rate * jloc  # predicted timing offset per symbol
         shift = jnp.round(off)
@@ -310,20 +312,40 @@ def demodulate_tracked(
         ci = di - dr * mean_phi
         bits = con.demap(mode.constellation, cr, ci)  # [B, n_data*bps]
 
+        w_blk = (n_ok >= 1).sum()
         new_rate = rate - g2 * delta_blk / block_syms
         new_tau = tau + rate * block_syms - g1 * delta_blk
-        return (new_tau, new_rate), (bits, delta_blk)
+        return (new_tau, new_rate), (bits, delta_blk, w_blk)
 
-    init = (jnp.float32(0.0), jnp.float32(0.0))
+    step = make_step(0.5, 0.25)
+    frozen = make_step(0.0, 0.0)  # pure prediction: measures, never corrects
     blocks_idx = jnp.arange(n_blocks)
-    # Two passes: the loop needs a few blocks to ACQUIRE the drift rate, and
-    # symbols demodulated during acquisition would be lost in a single pass.
-    # Pass 1 runs the identical loop just to learn the rate; pass 2 re-demods
-    # from symbol 0 with the rate pre-loaded (tau restarts at 0 because the
-    # sync anchors timing at the frame head).
-    (tau_acq, rate_acq), _ = jax.lax.scan(step, init, blocks_idx)
-    (tau_f, _), (bits, deltas) = jax.lax.scan(
-        step, (jnp.float32(0.0), rate_acq), blocks_idx
+    zero = jnp.float32(0.0)
+
+    # Acquire -> measure -> demod. (1) A closed-loop pass from zero state
+    # ACQUIRES an approximate rate (symbols demodulated during acquisition
+    # would be lost, so this pass is measurement-only). (2) A FROZEN-gain
+    # pass replays the frame with predicted(j) = rate_acq * j and collects
+    # the per-block residuals: since ``delta`` is (predicted - actual),
+    # delta_i = (rate_acq - rate_true) * x_i - tau_true is LINEAR in the
+    # block midpoint x_i, so a weighted least-squares line (weights = blocks
+    # that actually measured pilots; zero-padded junk blocks weigh 0) reads
+    # off BOTH the true rate and the frame-head sub-sample offset far more
+    # accurately than the sequential loop can on a short frame. (3) The
+    # final closed-loop pass demods from symbol 0 with the fitted (tau0,
+    # rate) pre-loaded; feedback stays on to absorb curvature/noise.
+    (_t, rate_acq), _ = jax.lax.scan(step, (zero, zero), blocks_idx)
+    _, (_b, deltas_m, ws) = jax.lax.scan(frozen, (zero, rate_acq), blocks_idx)
+    x = jnp.arange(n_blocks, dtype=jnp.float32) * block_syms + (block_syms - 1) / 2.0
+    w = ws.astype(jnp.float32)
+    wsum = jnp.maximum(w.sum(), 1e-6)
+    xm = (w * x).sum() / wsum
+    dm = (w * deltas_m).sum() / wsum
+    den = (w * (x - xm) ** 2).sum()
+    slope = jnp.where(den > 1e-6, (w * (x - xm) * (deltas_m - dm)).sum() / jnp.maximum(den, 1e-6), 0.0)
+    intercept = dm - slope * xm
+    (tau_f, _), (bits, deltas, _w) = jax.lax.scan(
+        step, (-intercept, rate_acq - slope), blocks_idx
     )
     bits = bits.reshape(n_blocks * block_syms, -1)[:n_sym]
     return bits.reshape(-1), tau_f

@@ -207,7 +207,7 @@ def main() -> None:
             aligned.size * iters / (time.perf_counter() - t0) / 1e6, 2
         )
 
-    # ---- encode-side throughput (fused TX contraction) ----
+    # ---- encode-side throughput (fused TX contraction, modulate only) ----
     @stage("encode", 120.0)
     def _():
         from audio_modem_tpu import phy
@@ -223,6 +223,146 @@ def main() -> None:
         jax.block_until_ready(enc_out)
         details["encode_modulate_msps"] = round(
             n_streams * n_payload_sym * sym * iters / (time.perf_counter() - t0) / 1e6, 2
+        )
+
+    # ---- FULL frame synthesis (bytes -> frames, the TX peer of the RX
+    # pipeline: unpack + repetition + map + fused contraction + header
+    # assembly + per-frame norm, one device program; framing._synth_frames_core)
+    # at 64 / 512 / 4096 frames per launch ----
+    def _encode_frames(nb: int, reps: int, depth: int):
+        from audio_modem_tpu.framing import _synth_frames_core, build_data_chunk_payload
+
+        pls = [build_data_chunk_payload(rng.bytes(chunk_size), s) for s in range(nb)]
+        u8 = jax.device_put(
+            jnp.asarray(np.frombuffer(b"".join(pls), np.uint8).reshape(nb, -1))
+        )
+        pre = p.silence_pre_chunk(False)
+        post = p.silence_post_chunk()
+        enc = jax.jit(lambda u: _synth_frames_core(u, mode, n_payload_sym, pre, post))
+        out = jax.block_until_ready(enc(u8))
+        _ = np.asarray(out[0, :8])  # first D2H before timing (tunnel warmup)
+        total = out.shape[0] * out.shape[1]
+        dt = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(depth):
+                out = enc(u8)
+            jax.block_until_ready(out)
+            dt = min(dt, time.perf_counter() - t0)
+        return round(total * depth / dt / 1e6, 2)
+
+    @stage("encode_frames64", 150.0)
+    def _():
+        details["encode_frame_synth_msps"] = _encode_frames(64, 5, iters)
+
+    @stage("encode_frames512", 150.0)
+    def _():
+        details["encode_frames512_msps"] = _encode_frames(512, 3, iters)
+
+    @stage("encode_frames4096", 200.0)
+    def _():
+        # depth 4: each launch holds a [4096, ~31k] f32 output (~0.5 GB)
+        details["encode_frames4096_msps"] = _encode_frames(4096, 3, 4)
+
+    # ---- WHOLE streaming runtime at scale: 64 live streams through
+    # BatchReceiver (host FSM + batched scan/refine/demod dispatches),
+    # BASELINE config 5's sustained form ----
+    @stage("batch_receiver", 250.0)
+    def _():
+        from audio_modem_tpu import api
+        from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
+
+        n, block = 64, 65536
+        data = rng.bytes(chunk_size * 16)
+        sig = np.concatenate(list(api.encode_chunked(data, mode, "b.bin", batch=16)))
+        blocks_list = []
+        for off in range(0, len(sig), block):
+            buf = np.zeros((n, block), np.float32)
+            seg = sig[off : off + block]
+            buf[:, : len(seg)] = seg[None, :]
+            blocks_list.append(buf)
+
+        def feed(rx):
+            for b in blocks_list:
+                rx.process_blocks(b)
+            rx.flush()
+
+        warm = BatchReceiver(mode, n, scan_bucket=block)
+        feed(warm)  # compiles every stage executable
+        assert warm.results()[0]["complete"], "batch_receiver bench decode failed"
+        dt = 1e9
+        for _ in range(3):
+            rx = BatchReceiver(mode, n, scan_bucket=block)
+            t0 = time.perf_counter()
+            feed(rx)
+            dt = min(dt, time.perf_counter() - t0)
+        msps = n * len(sig) / dt / 1e6
+        details["batch_receiver_msps"] = round(msps, 2)
+        details["batch_receiver_realtime_streams"] = round(msps * 1e6 / 44100.0, 0)
+
+    # ---- long-frame (past the VMEM gate) kernel-vs-XLA A/B ----
+    # ~460k-sample narrowband chunk frames through the gridded streaming
+    # demod kernel vs the XLA pipeline, same process, best-of-reps.
+    @stage("long_frame", 280.0)
+    def _():
+        from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
+        from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
+
+        narrow = MODES["BPSK-NARROW"]
+        np_prof = narrow.profile
+        nsym_l = framing.num_symbols_for_payload(512 + 11, narrow)
+        one = framing.build_data_chunk_frame(rng.bytes(512), 0, narrow)
+        one = one[np_prof.silence_pre_chunk(False) :][: (3 + nsym_l) * np_prof.symbol_len]
+        lframes = np.tile(one, (8, 1))
+        lframes += 0.02 * rng.standard_normal(lframes.shape).astype(np.float32)
+        ldev = jax.device_put(jnp.asarray(lframes))
+        for key, fn in (
+            ("long_frame_kernel_msps", lambda: decode_chunks_fused_stream(ldev, narrow, nsym_l)),
+            ("long_frame_xla_msps", lambda: _batch_decode_chunk_frames_xla(ldev, narrow, nsym_l)),
+        ):
+            jax.block_until_ready(fn())
+            _ = np.asarray(fn())
+            dt = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    o = fn()
+                jax.block_until_ready(o)
+                dt = min(dt, time.perf_counter() - t0)
+            details[key] = round(lframes.size * iters / dt / 1e6, 2)
+
+    # ---- dispatch-floor measurement + headline analysis ----
+    # The 64-stream headline has been flat across rounds while the device
+    # ceiling tripled (517 -> 506 -> ... vs 3.0 -> 6.0 Gsps at 512/4096
+    # batch): the per-call floor through the axon tunnel relay bounds it.
+    # Measure that floor directly with a trivial jitted op at the same
+    # pipeline depth, and record what the headline WOULD be at zero
+    # dispatch cost (the device-only number, from the 4096-batch stage).
+    @stage("dispatch_floor", 60.0)
+    def _():
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
+        f = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(f(tiny))
+        _ = np.asarray(f(tiny))
+        dt = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = tiny
+            for _ in range(iters):
+                o = f(o)
+            jax.block_until_ready(o)
+            dt = min(dt, time.perf_counter() - t0)
+        floor_ms = dt / iters * 1e3
+        details["dispatch_floor_ms"] = round(floor_ms, 3)
+        block_samples = int(n_valid.sum())
+        details["headline_dispatch_bound_msps"] = round(block_samples / (floor_ms * 1e-3) / 1e6, 1)
+        details["headline_analysis"] = (
+            "64-stream headline is dispatch-bound: one pipelined jit call costs "
+            f"~{floor_ms:.2f} ms through the axon tunnel relay regardless of work, "
+            f"capping a {block_samples}-sample block at "
+            f"~{block_samples / (floor_ms * 1e-3) / 1e6:.0f} Msps even at zero device time; "
+            "the device-bound ceiling is the batch4096 stage. A local (non-tunneled) "
+            "runtime dispatches in O(10us) and would sit at the device ceiling."
         )
 
     # ---- detect-only p50 latency (one stream window) ----

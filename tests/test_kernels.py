@@ -6,62 +6,6 @@ import numpy as np
 
 from audio_modem_tpu import framing, sync
 from audio_modem_tpu.configs import MODES
-from audio_modem_tpu.kernels.detect import detect_preamble_pallas
-
-
-def _compare(signals: np.ndarray, n_valid: np.ndarray, profile):
-    sp = sync.preprocess(jnp.asarray(signals), jnp.asarray(n_valid))
-    idx_x, best_x = sync.detect_preamble(sp, profile, jnp.asarray(n_valid))
-    b = signals.shape[0]
-    idx_p, best_p = detect_preamble_pallas(
-        sp,
-        jnp.asarray(n_valid),
-        jnp.zeros(b, jnp.int32),
-        jnp.full(b, sync.AUTOCORR_MIN_ENERGY, jnp.float32),
-        interpret=True,
-    )
-    ix, ip = np.asarray(idx_x), np.asarray(idx_p)
-    # Same detection decision everywhere.
-    assert np.array_equal(ix < 0, ip < 0)
-    # On detections, indices may differ by float-noise tie-breaks on the
-    # preamble's metric plateau (CP-long, metric ~1.0 throughout); any point
-    # within the 3*CP xcorr refinement radius yields the identical final
-    # sync. On TPU the compiled kernel is idx-exact vs the XLA path.
-    det = ix >= 0
-    assert np.abs(ix[det] - ip[det]).max(initial=0) <= 3 * profile.cp_len
-    assert np.abs(np.asarray(best_x) - np.asarray(best_p)).max() < 1e-5
-
-
-def test_detect_kernel_on_noise():
-    rng = np.random.default_rng(0)
-    signals = rng.standard_normal((8, 4096)).astype(np.float32) * 0.05
-    n_valid = np.full(8, 4096, np.int32)
-    _compare(signals, n_valid, MODES["QPSK"].profile)
-
-
-def test_detect_kernel_on_real_frames():
-    mode = MODES["BPSK-ACOUSTIC"]
-    rng = np.random.default_rng(1)
-    frames = [framing.build_data_chunk_frame(rng.bytes(32), s, mode) for s in range(4)]
-    t = max(len(f) for f in frames)
-    signals = np.zeros((4, t), np.float32)
-    for i, f in enumerate(frames):
-        signals[i, : len(f)] = f
-    n_valid = np.asarray([len(f) for f in frames], np.int32)
-    _compare(signals, n_valid, mode.profile)
-
-
-def test_detect_kernel_batch_padding():
-    """Non-multiple-of-8 batches pad internally and slice back."""
-    rng = np.random.default_rng(2)
-    signals = rng.standard_normal((3, 2048)).astype(np.float32) * 0.05
-    n_valid = np.full(3, 2048, np.int32)
-    sp = sync.preprocess(jnp.asarray(signals), jnp.asarray(n_valid))
-    idx, best = detect_preamble_pallas(
-        sp, jnp.asarray(n_valid), jnp.zeros(3, jnp.int32),
-        jnp.full(3, 0.01, jnp.float32), interpret=True,
-    )
-    assert idx.shape == (3,) and best.shape == (3,)
 
 
 class TestFusedReceive:
@@ -154,12 +98,13 @@ class TestFusedReceive:
             out = np.asarray(decode_chunks_fused(frames, mode, n_sym, interpret=True))
             assert np.array_equal(ref, out), name
 
-    def test_vmem_gate_routes_long_frames_to_xla(self, monkeypatch):
+    def test_vmem_gate_routes_long_frames(self, monkeypatch):
         """fused_receive_fits rejects frames whose VMEM footprint would blow
-        the Mosaic compile (observed: ~500k-sample narrowband frames), and
-        the dispatchers then fall back to the XLA path even with kernels
-        forced on — so a legacy 32 KB frame (~7.3M samples) can never reach
-        pallas_call."""
+        the Mosaic compile (observed: ~500k-sample narrowband frames); past
+        the gate the dispatchers route to the STREAMING kernel on TPU and to
+        the XLA path elsewhere — so the resident kernel can never see a
+        legacy 32 KB frame (~7.3M samples), and on CPU (this test, kernels
+        forced on) the XLA fallback must hold."""
         from audio_modem_tpu.kernels.receive import fused_chunks_fits, fused_receive_fits
         from audio_modem_tpu.parallel import batch
 
@@ -207,34 +152,82 @@ class TestFusedReceive:
             assert np.array_equal(unpacked, bits.reshape(4, nd * bps))
 
 
-class TestFusedFrontend:
-    def test_matches_xla_pipeline(self):
-        import jax
-        import jax.numpy as jnp
+class TestStreamingKernels:
+    """Length-unbounded streaming kernels (VERDICT r2 item 3): the gridded
+    demod kernel + the XLA-front-end long-frame pipeline must be
+    decision-identical to the XLA path, including on frames far past the
+    resident kernel's VMEM gate."""
 
-        from audio_modem_tpu import framing, sync
-        from audio_modem_tpu.configs import MODES
-        from audio_modem_tpu.kernels.frontend import frontend_fused
-        from audio_modem_tpu.parallel.batch import pad_signals
+    def test_chunks_stream_matches_xla_all_modes(self):
+        from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
+        from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
+
+        rng = np.random.default_rng(13)
+        for name in ["QPSK", "16-QAM", "BPSK-ACOUSTIC", "BPSK-NARROW", "64-QAM"]:
+            mode = MODES[name]
+            p = mode.profile
+            sym = p.symbol_len
+            size = 128 if "BPSK" in name else mode.chunk_size
+            n_sym = framing.num_symbols_for_payload(size + 11, mode)
+            fr = []
+            for s in range(3):
+                f = framing.build_data_chunk_frame(rng.bytes(size), s, mode)
+                f = f[p.silence_pre_chunk(False):][: (3 + n_sym) * sym]
+                fr.append(f + 0.02 * rng.standard_normal(len(f)).astype(np.float32))
+            frames = jnp.asarray(np.stack(fr))
+            ref = np.asarray(_batch_decode_chunk_frames_xla(frames, mode, n_sym))
+            out = np.asarray(decode_chunks_fused_stream(frames, mode, n_sym, interpret=True))
+            assert np.array_equal(ref, out), name
+
+    def test_long_narrowband_frame_over_500k(self):
+        """A 512 B x3-repetition narrowband chunk frame (~500 k samples) —
+        the exact shape VERDICT r2 flagged as exiled — through
+        decode_long_fused, bit-identical to the XLA full pipeline."""
+        from audio_modem_tpu.kernels.receive import (
+            decode_long_fused,
+            fused_receive_fits,
+        )
+        from audio_modem_tpu.parallel.batch import (
+            _batch_decode_signals_xla,
+            pad_signals,
+        )
+
+        mode = MODES["BPSK-NARROW"]
+        p = mode.profile
+        sym = p.symbol_len
+        rng = np.random.default_rng(17)
+        frames = [
+            framing.build_data_chunk_frame(rng.bytes(512), s, mode) for s in range(2)
+        ]
+        signals, n_valid = pad_signals(frames, pad_len=len(frames[0]) + 2 * sym)
+        assert signals.shape[1] > 450_000
+        max_syms = max((signals.shape[1] - 3 * sym) // sym, 1)
+        assert not fused_receive_fits(signals.shape[1], mode, max_syms)
+        sig = jnp.asarray(signals)
+        nv = jnp.asarray(n_valid)
+        ref = _batch_decode_signals_xla(sig, nv, mode, max_syms)
+        out = decode_long_fused(
+            sig, nv, jnp.zeros(2, jnp.int32), mode, max_syms, interpret=True
+        )
+        for key in ("start", "detected"):
+            assert np.array_equal(np.asarray(ref[key]), np.asarray(out[key])), key
+        assert np.asarray(out["detected"]).all()
+        # bits: exact over the PAYLOAD symbols; junk/silence tail symbols
+        # demodulate exact-zero bins whose signs depend on accumulation
+        # order (the documented junk-tail tolerance — every consumer
+        # truncates them, like the reference's modem.js:368 junk demod)
+        n_payload = framing.num_symbols_for_payload(512 + 11, mode)
+        nb = n_payload * mode.bits_per_symbol
+        assert np.array_equal(
+            np.asarray(ref["bits"])[:, :nb], np.asarray(out["bits"])[:, :nb]
+        )
+
+    def test_long_fused_no_preamble(self):
+        from audio_modem_tpu.kernels.receive import decode_long_fused
 
         mode = MODES["QPSK"]
-        p = mode.profile
-        rng = np.random.default_rng(41)
-        frames = [framing.build_data_chunk_frame(rng.bytes(200), s, mode) for s in range(8)]
-        signals, n_valid = pad_signals(
-            frames, pad_len=max(len(f) for f in frames) + 8 * p.cp_len + 2 * p.symbol_len
-        )
-        zeros = jnp.zeros(signals.shape[0], jnp.int32)
-        sp = sync.preprocess(jnp.asarray(signals), jnp.asarray(n_valid))
-        cx, _ = sync.detect_preamble(sp, p, jnp.asarray(n_valid), stride=16)
-        sx, mx = jax.vmap(lambda s, c, n: sync.refine_xcorr(s, jnp.maximum(c, 0), p, n))(
-            sp, cx, jnp.asarray(n_valid)
-        )
-        st, fm, co, pre = frontend_fused(
-            jnp.asarray(signals), jnp.asarray(n_valid), zeros, p, interpret=True
-        )
-        assert np.array_equal(np.asarray(sx), np.asarray(st))  # refined starts identical
-        assert np.abs(np.asarray(mx) - np.asarray(fm)).max() < 1e-5
-        assert np.abs(np.asarray(pre) - np.asarray(sp)).max() < 1e-6
-        # coarse may differ only within the metric plateau (<= CP)
-        assert np.abs(np.asarray(cx) - np.asarray(co)).max() <= p.cp_len
+        rng = np.random.default_rng(29)
+        signals = jnp.asarray(rng.standard_normal((2, 16384)).astype(np.float32) * 0.05)
+        nv = jnp.asarray([16384, 9000], jnp.int32)
+        out = decode_long_fused(signals, nv, jnp.zeros(2, jnp.int32), mode, 8, interpret=True)
+        assert not np.asarray(out["detected"]).any()

@@ -89,3 +89,55 @@ def test_fused_chunks_match_xla_on_hardware():
     # borderline-bin rounding band
     d = int((ref != out).sum())
     assert d <= HW_BIT_MISMATCH_RATE * ref.size, d
+
+
+@requires_tpu
+def test_streaming_kernels_match_xla_on_hardware():
+    """Long-frame path on real hardware: the gridded streaming demod kernel
+    (decode_chunks_fused_stream) and the XLA-front-end + streaming-demod
+    full pipeline (decode_long_fused) on a ~500k-sample narrowband chunk
+    frame — the shape the resident kernel's VMEM gate rejects."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_modem_tpu import framing
+    from audio_modem_tpu.configs import MODES
+    from audio_modem_tpu.kernels.receive import (
+        decode_chunks_fused_stream,
+        decode_long_fused,
+        fused_receive_fits,
+    )
+    from audio_modem_tpu.parallel.batch import (
+        _batch_decode_chunk_frames_xla,
+        _batch_decode_signals_xla,
+        pad_signals,
+    )
+
+    rng = np.random.default_rng(2)
+    mode = MODES["BPSK-NARROW"]
+    p = mode.profile
+    sym = p.symbol_len
+    n_sym = framing.num_symbols_for_payload(512 + 11, mode)
+    frames = [framing.build_data_chunk_frame(rng.bytes(512), s, mode) for s in range(8)]
+    aligned = np.stack([f[p.silence_pre_chunk(False) :][: (3 + n_sym) * sym] for f in frames])
+    aligned += 0.02 * rng.standard_normal(aligned.shape).astype(np.float32)
+    fdev = jnp.asarray(aligned)
+    ref = np.asarray(_batch_decode_chunk_frames_xla(fdev, mode, n_sym))
+    out = np.asarray(decode_chunks_fused_stream(fdev, mode, n_sym))
+    d = int((ref != out).sum())
+    assert d <= HW_BIT_MISMATCH_RATE * ref.size, d
+
+    signals, nv = pad_signals(frames, pad_len=len(frames[0]) + 2 * sym)
+    max_syms = max((signals.shape[1] - 3 * sym) // sym, 1)
+    assert not fused_receive_fits(signals.shape[1], mode, max_syms)
+    sig = jnp.asarray(signals)
+    nvd = jnp.asarray(nv)
+    refl = _batch_decode_signals_xla(sig, nvd, mode, max_syms)
+    outl = decode_long_fused(sig, nvd, jnp.zeros(8, jnp.int32), mode, max_syms)
+    assert np.array_equal(np.asarray(refl["start"]), np.asarray(outl["start"]))
+    assert np.asarray(outl["detected"]).all()
+    nb = n_sym * mode.bits_per_symbol
+    d2 = int(
+        (np.asarray(refl["bits"])[:, :nb] != np.asarray(outl["bits"])[:, :nb]).sum()
+    )
+    assert d2 <= HW_BIT_MISMATCH_RATE * 8 * nb, d2

@@ -104,3 +104,13 @@ def test_shardmap_explicit_collective_ber():
     assert float(ber) == 0.0
     noisy = shardmap_loopback_ber(shard_batch(bits, mesh), key, mode, n_sym, -5.0, mesh)
     assert 0.05 < float(noisy) < 0.6
+
+
+def test_multihost_dryrun_two_processes():
+    """The DCN story (SURVEY §2 parallelism table): a real 2-process
+    jax.distributed cluster (2 x 2 virtual CPU devices, one global mesh)
+    runs the sharded loopback + decode step; children raise on any
+    BER/detection failure."""
+    from audio_modem_tpu.parallel.multihost import run_dryrun
+
+    run_dryrun(n_processes=2, devices_per_process=2)
