@@ -628,34 +628,70 @@ def _chunk_kernel(
     jax.lax.fori_loop(0, n_groups, demod_group, 0)
 
 
+_STREAM_SUBGROUPS = 4  # symbol groups per grid step (amortizes fixed cost)
+
+
 def _chunk_stream_kernel(
-    data_ref, ch_ref, scale_ref, rx_ref, pack_ref, words_ref, body_ref,
-    *, mode: ModemMode, g_syms: int,
+    data_ref, ch_ref, scale_ref, rx_ref, pack_ref, words_ref, body_ref, tiled_ref,
+    *, mode: ModemMode, g_syms: int, sub_groups: int,
 ):
-    """One grid step of the STREAMING demod kernel: demodulate one
-    ``g_syms``-symbol group of one 8-stream tile.
+    """One grid step of the STREAMING demod kernel: demodulate
+    ``sub_groups`` x ``g_syms`` symbols of one 8-stream tile.
 
     Unlike _chunk_kernel (whole frame resident in VMEM), the frame stays in
-    HBM and Pallas's grid pipeline DMAs successive [8, g_syms*sym] data
-    blocks in (double-buffered automatically across grid steps), so VMEM
-    footprint is O(block) and FRAME LENGTH IS UNBOUNDED — this is what lifts
-    the VMEM exile of long frames (512 B narrowband chunks ~500 k samples,
-    the ~7.3 M-sample 32 KB legacy frame; VERDICT r2 item 3). The per-frame
-    scale and the sectioned channel estimate arrive precomputed (same
-    dot_bf16x3 formulation, evaluated in the XLA prologue)."""
+    HBM and Pallas's grid pipeline DMAs successive [8, sub_groups*g_syms*sym]
+    data blocks in (double-buffered automatically across grid steps), so
+    VMEM footprint is O(block) and FRAME LENGTH IS UNBOUNDED — this is what
+    lifts the VMEM exile of long frames (512 B narrowband chunks ~500 k
+    samples, the ~7.3 M-sample 32 KB legacy frame; VERDICT r2 item 3). The
+    per-frame scale and the sectioned channel estimate arrive precomputed
+    (same dot_bf16x3 formulation, evaluated in the XLA prologue); the
+    EQ-normalized tiled channel is built ONCE per tile (grid's inner axis is
+    the block index, so tile scratch persists) into ``tiled_ref`` —
+    rebuilding it per step cost 12 small one-hot matmuls each."""
     profile = mode.profile
     g = _geometry(profile)
     sym = profile.symbol_len
     fft = profile.fft_size
     nd_pad, np_pad = g["nd_pad"], g["np_pad"]
+    sect = 2 * (nd_pad + np_pad)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _build_tiled():
+        hd_re, hd_im, hd_ok, hp_re, hp_im, hp_ok = _tiled_channel(
+            ch_ref[...], g_syms, nd_pad, np_pad
+        )
+        tiled_ref[:, :nd_pad] = hd_re
+        tiled_ref[:, nd_pad : 2 * nd_pad] = hd_im
+        tiled_ref[:, 2 * nd_pad : 2 * nd_pad + np_pad] = hp_re
+        tiled_ref[:, 2 * nd_pad + np_pad : sect] = hp_im
+        tiled_ref[:, sect : sect + nd_pad] = hd_ok.astype(jnp.float32)
+        tiled_ref[:, sect + nd_pad : sect + nd_pad + np_pad] = hp_ok.astype(jnp.float32)
+
+    tl = tiled_ref[...]
+    tiled = (
+        tl[:, :nd_pad],
+        tl[:, nd_pad : 2 * nd_pad],
+        tl[:, sect : sect + nd_pad] > 0.5,
+        tl[:, 2 * nd_pad : 2 * nd_pad + np_pad],
+        tl[:, 2 * nd_pad + np_pad : sect],
+        tl[:, sect + nd_pad : sect + nd_pad + np_pad] > 0.5,
+    )
     chunk = data_ref[...] * scale_ref[...]
-    for k in range(g_syms):
-        body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[:, k * sym : k * sym + fft]
-    spec = dot_bf16x3(body_ref[...], rx_ref[...])
-    tiled = _tiled_channel(ch_ref[...], g_syms, nd_pad, np_pad)
-    words = _eq_demap_pack(spec, *tiled, pack_ref[...], mode, nd_pad, np_pad)
-    for k in range(g_syms):
-        words_ref[:, pl.ds(k * _LANE, _LANE)] = words[k * _ROWS : (k + 1) * _ROWS]
+    rx = rx_ref[...]
+    pack = pack_ref[...]
+    for s in range(sub_groups):
+        base = s * g_syms * sym
+        for k in range(g_syms):
+            body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[
+                :, base + k * sym : base + k * sym + fft
+            ]
+        spec = dot_bf16x3(body_ref[...], rx)
+        words = _eq_demap_pack(spec, *tiled, pack, mode, nd_pad, np_pad)
+        for k in range(g_syms):
+            words_ref[:, pl.ds((s * g_syms + k) * _LANE, _LANE)] = words[
+                k * _ROWS : (k + 1) * _ROWS
+            ]
 
 
 def _stream_demod_words(
@@ -675,10 +711,13 @@ def _stream_demod_words(
     profile = mode.profile
     b = data.shape[0]
     sym = profile.symbol_len
+    g = _geometry(profile)
     g_syms = _group_syms(sym, n_sym)
     n_groups = -(-n_sym // g_syms)
-    chunk_len = g_syms * sym
-    need = n_groups * chunk_len
+    sub_groups = min(_STREAM_SUBGROUPS, n_groups)
+    super_len = sub_groups * g_syms * sym
+    n_super = -(-n_groups // sub_groups)
+    need = n_super * super_len
     if data.shape[1] < need:
         data = jnp.pad(data, ((0, 0), (0, need - data.shape[1])))
     data = data[:, :need]
@@ -687,20 +726,23 @@ def _stream_demod_words(
     sect = rx.shape[1]
 
     kernel = pl.pallas_call(
-        partial(_chunk_stream_kernel, mode=mode, g_syms=g_syms),
-        grid=(b // _ROWS, n_groups),
+        partial(_chunk_stream_kernel, mode=mode, g_syms=g_syms, sub_groups=sub_groups),
+        grid=(b // _ROWS, n_super),
         in_specs=[
-            pl.BlockSpec((_ROWS, chunk_len), lambda i, g: (i, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, sect), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, 1), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(rx.shape, lambda i, g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(pack.shape, lambda i, g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, super_len), lambda i, s: (i, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, sect), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rx.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pack.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_ROWS, g_syms * _LANE), lambda i, g: (i, g), memory_space=pltpu.VMEM
+            (_ROWS, sub_groups * g_syms * _LANE), lambda i, s: (i, s), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_groups * g_syms * _LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((_ROWS * g_syms, profile.fft_size), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, n_super * sub_groups * g_syms * _LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS * g_syms, profile.fft_size), jnp.float32),
+            pltpu.VMEM((_ROWS * g_syms, 3 * (g["nd_pad"] + g["np_pad"])), jnp.float32),
+        ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

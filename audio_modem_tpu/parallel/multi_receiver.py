@@ -27,8 +27,8 @@ import numpy as np
 
 from audio_modem_tpu import decoder, framing, native, sync
 from audio_modem_tpu.configs import ModemMode
-from audio_modem_tpu.ops.bits import bits_to_bytes, soft_combine
-from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames_packed
+from audio_modem_tpu.ops.bits import bits_to_bytes, jnp_bits_to_bytes, jnp_majority_vote, soft_combine
+from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames_packed, batch_decode_signals
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
 from audio_modem_tpu.runtime.ring import RingBuffer
@@ -45,6 +45,23 @@ def _batch_scan(windows: jnp.ndarray, n_valid: jnp.ndarray, profile):
 @partial(jax.jit, static_argnames=("profile",))
 def _batch_refine(regions: jnp.ndarray, coarse_rel: jnp.ndarray, n_valid: jnp.ndarray, profile):
     return jax.vmap(lambda r, c, n: sync.refine_xcorr(r, c, profile, n))(regions, coarse_rel, n_valid)
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms"))
+def _batch_window_decode(windows: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
+    """The turbo path's ONE dispatch: full pipeline (preprocess + detect +
+    refine + CE + demod — the fused Pallas kernel on TPU) over every
+    scanning stream's window, with majority vote + byte packing fused on as
+    an epilogue so the D2H payload is decoded bytes."""
+    out = batch_decode_signals(windows, n_valid, mode, max_syms)
+    b = out["bits"]
+    if mode.repetition > 1:
+        b = jnp_majority_vote(b, mode.repetition)
+    return {
+        "detected": out["detected"],
+        "start": out["start"],
+        "bytes": jnp_bits_to_bytes(b),
+    }
 
 
 class _Stream:
@@ -76,10 +93,20 @@ class BatchReceiver:
         dc_alpha: float = 0.999,
         fec: bool = False,
         scan_bucket: int = SCAN_BUCKET,
+        window_decode: bool = False,
     ):
         self.mode = mode
         self.fec = fec
         self.n = n_streams
+        # Turbo path: instead of staged scan -> refine -> demod dispatches
+        # (3+ per frame), run the FULL fused pipeline over each scanning
+        # stream's window — one dispatch yields detection, refined start,
+        # and decoded bytes together. Frames that don't fit the window or
+        # fail to parse fall back to the staged machine (and its full retry
+        # ladder). Dispatch cost dominates the small-batch streaming runtime
+        # through this image's ~3-4 ms tunnel floor, so collapsing a frame's
+        # round trips ~3x-es sustained throughput.
+        self.window_decode = bool(window_decode)
         # Scan-call granularity: each _scan_all dispatch covers up to
         # (scan_bucket - fft) positions per stream. Larger buckets amortize
         # the per-dispatch floor (~3-4 ms through the axon tunnel) when the
@@ -107,6 +134,7 @@ class BatchReceiver:
         radius = 3 * p.cp_len
         self._region_len = 2 * radius + plen
         self._refine_pad = self._region_len + plen
+        self._win_max_syms = max((self.scan_bucket - 3 * plen) // plen, 1)
 
     # ---- ingest ----
 
@@ -124,10 +152,75 @@ class BatchReceiver:
                 break
 
     def _step_all(self) -> bool:
-        progressed = self._scan_all()
+        if self.window_decode:
+            progressed = self._window_decode_all()
+        else:
+            progressed = self._scan_all()
         progressed |= self._refine_all()
         progressed |= self._demod_ready()
         return progressed
+
+    # ---- turbo: fused window decode (scan+refine+demod in one dispatch) ----
+
+    def _window_decode_all(self) -> bool:
+        p = self.mode.profile
+        sym = p.symbol_len
+        w = self.scan_bucket
+        windows = np.zeros((self.n, w), np.float32)
+        lens = np.zeros(self.n, np.int32)
+        active = []
+        for i, s in enumerate(self.streams):
+            if s.state is not RecvState.IDLE:
+                continue
+            total = s.ring.total_written
+            s.scan_pos = max(s.scan_pos, total - s.ring.capacity, 0)
+            avail = total - s.scan_pos
+            if avail < 4 * sym + 2 * self._half:
+                continue  # too short to host a frame; staged flush drains tails
+            win = s.ring.get_range(s.scan_pos, min(avail, w))
+            if win is None:
+                continue
+            windows[i, : len(win)] = win
+            lens[i] = len(win)
+            active.append(i)
+        if not active:
+            return False
+        out = _batch_window_decode(
+            jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
+        )
+        detected = np.asarray(out["detected"])
+        starts = np.asarray(out["start"])
+        by_rows = np.asarray(out["bytes"])
+        for i in active:
+            s = self.streams[i]
+            if not detected[i]:
+                s.scan_pos += max(int(lens[i]) - 2 * self._half + 1, 1)
+                continue
+            abs_start = s.scan_pos + int(starts[i])
+            max_payload = (
+                (s.assembler.chunk_size or 4096) + 11 if s.meta_received else PRE_META_MAX_PAYLOAD
+            )
+            if self.fec:
+                max_payload = framing.fec_wire_len(max_payload)
+            est_end = abs_start + framing.estimate_frame_samples(max_payload, self.mode)
+            if est_end > s.scan_pos + int(lens[i]):
+                # frame extends past the window: stage it (refine already
+                # done by the fused pipeline, but the staged machine redoes
+                # it from the ring — correctness over elegance)
+                s.preamble_pos = abs_start
+                s.scan_pos = abs_start + self._half
+                s.state = RecvState.PREAMBLE_DETECTED
+                continue
+            n_sym = (est_end - abs_start - 3 * sym) // sym
+            result = framing.parse_payload_bytes(by_rows[i].tobytes(), min_len=6)
+            s.preamble_pos = abs_start
+            s.expected_frame_end = est_end
+            if decoder._parse_failed(result):
+                # hand the frame to the staged demod + its retry ladder
+                s.state = RecvState.COLLECTING_FRAME
+                continue
+            self._route_result(s, result)
+        return True
 
     # ---- batched scan ----
 
@@ -291,6 +384,11 @@ class BatchReceiver:
             tresult = decoder._bits_to_parse(tbits, n_sym, self.mode, min_len=6)
             if not decoder._parse_failed(tresult):
                 result = tresult
+        self._route_result(s, result)
+
+    def _route_result(self, s: _Stream, result: framing.ParseResult) -> None:
+        """Post-parse routing: assembler/stats updates + FSM reset. Expects
+        s.preamble_pos / s.expected_frame_end to describe the frame."""
         resume_pos = None
         if isinstance(result, framing.FrameError):
             s.stats.frame_errors += 1
@@ -341,6 +439,12 @@ class BatchReceiver:
         Frame expectations are truncated to the samples actually available
         (the batch analog of partial_ok)."""
         p = self.mode.profile
+        # drain via the STAGED machine first: the turbo path skips windows
+        # too short to host a whole frame, so a tail frame can still be
+        # sitting undetected in the ring at end of input
+        for _ in range(8):
+            if not (self._scan_all() | self._refine_all() | self._demod_ready()):
+                break
         # final refinement attempt with the samples we have
         self._refine_all()
         for s in self.streams:

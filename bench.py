@@ -287,18 +287,24 @@ def main() -> None:
                 rx.process_blocks(b)
             rx.flush()
 
-        warm = BatchReceiver(mode, n, scan_bucket=block)
-        feed(warm)  # compiles every stage executable
-        assert warm.results()[0]["complete"], "batch_receiver bench decode failed"
-        dt = 1e9
-        for _ in range(3):
-            rx = BatchReceiver(mode, n, scan_bucket=block)
-            t0 = time.perf_counter()
-            feed(rx)
-            dt = min(dt, time.perf_counter() - t0)
-        msps = n * len(sig) / dt / 1e6
-        details["batch_receiver_msps"] = round(msps, 2)
-        details["batch_receiver_realtime_streams"] = round(msps * 1e6 / 44100.0, 0)
+        for label, kw in (
+            ("batch_receiver_msps", {}),
+            ("batch_receiver_turbo_msps", {"window_decode": True}),
+        ):
+            warm = BatchReceiver(mode, n, scan_bucket=block, **kw)
+            feed(warm)  # compiles every stage executable
+            assert warm.results()[0]["complete"], f"batch_receiver bench decode failed ({label})"
+            dt = 1e9
+            for _ in range(3):
+                rx = BatchReceiver(mode, n, scan_bucket=block, **kw)
+                t0 = time.perf_counter()
+                feed(rx)
+                dt = min(dt, time.perf_counter() - t0)
+            msps = n * len(sig) / dt / 1e6
+            details[label] = round(msps, 2)
+        details["batch_receiver_realtime_streams"] = round(
+            details.get("batch_receiver_turbo_msps", 0.0) * 1e6 / 44100.0, 0
+        )
 
     # ---- long-frame (past the VMEM gate) kernel-vs-XLA A/B ----
     # ~460k-sample narrowband chunk frames through the gridded streaming
