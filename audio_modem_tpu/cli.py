@@ -43,7 +43,7 @@ def cmd_decode(args) -> int:
     from audio_modem_tpu import api, framing
     from audio_modem_tpu.utils.wav import read_wav
 
-    signal, rate = read_wav(args.input)
+    signal, rate = read_wav(args.input, max_seconds=args.max_duration)
     # waveform trimmer analog (app.js:1252-1306 / index.html:213-225):
     # slice the recording to [trim_start, trim_end] seconds before decoding
     if args.trim_start or args.trim_end is not None:
@@ -75,7 +75,7 @@ def cmd_receive(args) -> int:
     from audio_modem_tpu import api, framing
     from audio_modem_tpu.utils.wav import read_wav
 
-    signal, _ = read_wav(args.input)
+    signal, _ = read_wav(args.input, max_seconds=args.max_duration)
     res = api.decode_chunked(signal, args.mode, fec=args.fec)
     if isinstance(res, framing.FrameError):
         print(f"error: {res.error}", file=sys.stderr)
@@ -240,10 +240,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="discard audio before SEC (trimmer analog)")
     p.add_argument("--trim-end", type=float, default=None, metavar="SEC",
                    help="discard audio after SEC")
+    p.add_argument("--max-duration", type=float, default=None, metavar="SEC",
+                   help="read at most SEC seconds of audio (RAM budget; "
+                        "reference max-duration selector, index.html:140-144)")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("receive", help="WAV -> file (chunked streaming)")
     p.add_argument("input"); p.add_argument("-o", "--output"); _add_mode(p)
+    p.add_argument("--max-duration", type=float, default=None, metavar="SEC",
+                   help="read at most SEC seconds of audio (RAM budget)")
     p.set_defaults(fn=cmd_receive)
 
     p = sub.add_parser("diagnose", help="analyze a recorded loopback WAV")

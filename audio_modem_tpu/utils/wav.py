@@ -25,11 +25,18 @@ def write_wav(path: str, signal: np.ndarray, sample_rate: int = SAMPLE_RATE) -> 
         w.writeframes(pcm16.tobytes())
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read mono (or first-channel) WAV -> (float32 signal in [-1,1], rate)."""
+def read_wav(path: str, max_seconds: float | None = None) -> tuple[np.ndarray, int]:
+    """Read mono (or first-channel) WAV -> (float32 signal in [-1,1], rate).
+
+    ``max_seconds`` caps the READ, not just the result — the RAM-budget
+    control of the reference's manual receive (index.html:140-144: the
+    recording-duration selector exists because Float32 audio costs ~10 MB
+    per minute; app.js:339-417 stops accumulating at the cutoff)."""
     with wave.open(path, "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()
+        if max_seconds is not None:
+            n = min(n, int(max_seconds * rate))
         width = w.getsampwidth()
         channels = w.getnchannels()
         raw = w.readframes(n)

@@ -187,3 +187,28 @@ class TestCliSurfaces:
         # degenerate range errors out cleanly
         rc = main(["decode", str(wav), "--mode", "qpsk", "--trim-start", "5", "--trim-end", "4"])
         assert rc == 1
+
+
+class TestMaxDuration:
+    def test_decode_max_duration_caps_the_read(self, tmp_path):
+        """--max-duration bounds the WAV READ (RAM-budget analog of the
+        reference's recording-duration selector, index.html:140-144): a cap
+        covering the frame decodes; a cap cutting it off fails cleanly."""
+        from audio_modem_tpu import api
+        from audio_modem_tpu.cli import main
+        from audio_modem_tpu.utils.wav import read_wav, write_wav
+
+        payload = b"capped payload" * 10
+        sig = api.encode_legacy(payload, "QPSK", "c.bin")
+        rec = np.concatenate([sig, np.zeros(5 * 44100, np.float32)])
+        wav = tmp_path / "rec.wav"
+        write_wav(str(wav), rec)
+        capped, rate = read_wav(str(wav), max_seconds=1.0)
+        assert len(capped) == rate  # read is bounded, not post-trimmed
+        out = tmp_path / "c.bin"
+        dur = len(sig) / 44100 + 0.1
+        rc = main(["decode", str(wav), "-o", str(out), "--mode", "qpsk",
+                   "--max-duration", str(dur)])
+        assert rc == 0 and out.read_bytes() == payload
+        rc = main(["decode", str(wav), "--mode", "qpsk", "--max-duration", "0.05"])
+        assert rc == 1
