@@ -84,14 +84,16 @@ def _batch_decode_chunk_frames_xla(frames: jnp.ndarray, mode: ModemMode, n_sym: 
     return phy.demodulate(data, ch_re, ch_im, mode)
 
 
-def _single_signal_decode(sig_ext, n_valid, mode: ModemMode, max_syms: int):
+def _single_signal_decode(sig_ext, n_valid, min_pos, mode: ModemMode, max_syms: int):
     """vmappable pipeline body. ``sig_ext`` is preprocessed AND already
     zero-extended by (3 + max_syms) * symbol_len past its nominal length
     (done once for the whole batch — padding inside vmap materializes a
     second batch-sized buffer per stream)."""
     p = mode.profile
     sym = p.symbol_len
-    coarse, coarse_metric = sync.detect_preamble(sig_ext, p, n_valid, stride=sync.COARSE_STRIDE)
+    coarse, coarse_metric = sync.detect_preamble(
+        sig_ext, p, n_valid, min_pos=min_pos, stride=sync.COARSE_STRIDE
+    )
     start, fine_metric = sync.refine_xcorr(sig_ext, jnp.maximum(coarse, 0), p, n_valid)
     ce = jax.lax.dynamic_slice(sig_ext, (start + 2 * sym,), (sym,))
     ch_re, ch_im = phy.estimate_channel(ce, p)
@@ -108,11 +110,19 @@ def _single_signal_decode(sig_ext, n_valid, mode: ModemMode, max_syms: int):
     }
 
 
-def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
+def batch_decode_signals(
+    signals: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+    min_pos: jnp.ndarray | None = None,
+):
     """Full-pipeline batch decode: [B, T] padded signals + [B] valid lengths.
 
     Returns dict of [B]-leading arrays (bits [B, max_syms*bits_per_symbol]).
     Shard ``signals``/``n_valid`` over the stream axis for multi-chip.
+    ``min_pos`` (per-stream, optional) ignores detections before that
+    position — the streaming runtime's resume semantics.
 
     On TPU this dispatches to the fused Pallas kernel
     (kernels.receive.decode_fused — one VMEM-resident pass, bits-only HBM
@@ -121,6 +131,8 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
     """
     from audio_modem_tpu.kernels import kernels_enabled
 
+    if min_pos is None:
+        min_pos = jnp.zeros(signals.shape[0], jnp.int32)
     if kernels_enabled():
         from audio_modem_tpu.kernels.receive import (
             decode_fused,
@@ -128,21 +140,28 @@ def batch_decode_signals(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: Modem
             fused_receive_fits,
         )
 
-        zeros = jnp.zeros(signals.shape[0], jnp.int32)
         if fused_receive_fits(signals.shape[-1], mode, max_syms):
-            return decode_fused(signals, n_valid, zeros, mode, max_syms)
+            return decode_fused(signals, n_valid, min_pos, mode, max_syms)
         if jax.default_backend() == "tpu":
             # long frames: XLA front-end + streaming demod kernel
-            return decode_long_fused(signals, n_valid, zeros, mode, max_syms)
-    return _batch_decode_signals_xla(signals, n_valid, mode, max_syms)
+            return decode_long_fused(signals, n_valid, min_pos, mode, max_syms)
+    return _batch_decode_signals_xla(signals, n_valid, min_pos, mode, max_syms)
 
 
 @partial(jax.jit, static_argnames=("mode", "max_syms"))
-def _batch_decode_signals_xla(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
+def _batch_decode_signals_xla(
+    signals: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+):
     sym = mode.profile.symbol_len
     sig = sync.preprocess(signals, n_valid)
     ext = jnp.pad(sig, ((0, 0), (0, (3 + max_syms) * sym)))
-    return jax.vmap(lambda s, nv: _single_signal_decode(s, nv, mode, max_syms))(ext, n_valid)
+    return jax.vmap(lambda s, nv, mp: _single_signal_decode(s, nv, mp, mode, max_syms))(
+        ext, n_valid, min_pos
+    )
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))

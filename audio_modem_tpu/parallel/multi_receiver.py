@@ -47,6 +47,103 @@ def _batch_refine(regions: jnp.ndarray, coarse_rel: jnp.ndarray, n_valid: jnp.nd
     return jax.vmap(lambda r, c, n: sync.refine_xcorr(r, c, profile, n))(regions, coarse_rel, n_valid)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _ring_append(buf: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Shift-ring write: keep the LAST capacity samples of every stream.
+
+    One concatenate per block (HBM-internal copy, trivial at device
+    bandwidth); buf[:, 0] always sits at global offset total_written - cap,
+    so window reads are plain per-row dynamic slices — no modulo gathers."""
+    l = blocks.shape[1]
+    return jnp.concatenate([buf[:, l:], blocks.astype(jnp.float32)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("mode", "max_syms", "w"))
+def _batch_window_decode_dev(
+    buf: jnp.ndarray,
+    start_rel: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+    w: int,
+):
+    """Device-ring turbo dispatch: slice each stream's window out of the
+    resident ring (vmapped dynamic slice — the samples NEVER cross the
+    host boundary), then the fused full pipeline + vote + pack. Host
+    traffic per round: a few scalars up, decoded bytes down."""
+    windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
+    out = batch_decode_signals(windows, n_valid, mode, max_syms, min_pos=min_pos)
+    b = out["bits"]
+    if mode.repetition > 1:
+        b = jnp_majority_vote(b, mode.repetition)
+    return {
+        "detected": out["detected"],
+        "start": out["start"],
+        "bytes": jnp_bits_to_bytes(b),
+    }
+
+
+class DeviceRing:
+    """Device-resident lockstep ring for N streams: [n, capacity] float32 in
+    HBM, shift-write semantics (see _ring_append). The multi-stream analog
+    of RingBuffer whose SAMPLES stay on device — through this image's
+    tunnel, re-uploading scan windows costs more than the decode itself, and
+    on any hardware it halves ingest bandwidth."""
+
+    def __init__(self, n: int, capacity: int):
+        self.capacity = -(-capacity // 128) * 128
+        self.buf = jnp.zeros((n, self.capacity), jnp.float32)
+        self.total_written = 0
+
+    def write(self, blocks) -> None:
+        l = int(np.shape(blocks)[1])
+        if l > self.capacity:
+            blocks = blocks[:, -self.capacity :]
+        self.buf = _ring_append(self.buf, jnp.asarray(blocks))
+        self.total_written += l
+
+    def rel(self, global_start: int) -> int:
+        return global_start - (self.total_written - self.capacity)
+
+    def get_range(self, row: int, global_start: int, length: int) -> np.ndarray | None:
+        """Host fetch for the staged fallback paths (rare: parse-failure
+        retries, flush tails). One D2H per call."""
+        r = self.rel(global_start)
+        if r < 0 or global_start + length > self.total_written:
+            return None
+        return np.asarray(
+            jax.lax.dynamic_slice(self.buf[row], (jnp.int32(r),), (length,))
+        )
+
+
+class _DeviceRingView:
+    """Per-stream RingBuffer-API adapter over a shared DeviceRing row, so
+    the staged FSM stages (refine/demod/flush) work unchanged in
+    device-ingest mode."""
+
+    def __init__(self, ring: DeviceRing, row: int):
+        self._ring = ring
+        self._row = row
+
+    @property
+    def capacity(self) -> int:
+        return self._ring.capacity
+
+    @property
+    def total_written(self) -> int:
+        return self._ring.total_written
+
+    def get_range(self, global_start: int, length: int) -> np.ndarray | None:
+        return self._ring.get_range(self._row, global_start, length)
+
+    def available_from(self, global_start: int) -> int:
+        return self._ring.total_written - global_start
+
+    def write(self, samples) -> None:  # writes go through the shared ring
+        raise NotImplementedError("device-ingest streams share the DeviceRing")
+
+
 @partial(jax.jit, static_argnames=("mode", "max_syms"))
 def _batch_window_decode(windows: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
     """The turbo path's ONE dispatch: full pipeline (preprocess + detect +
@@ -94,10 +191,22 @@ class BatchReceiver:
         fec: bool = False,
         scan_bucket: int = SCAN_BUCKET,
         window_decode: bool = False,
+        device_ingest: bool = False,
     ):
         self.mode = mode
         self.fec = fec
         self.n = n_streams
+        # Device-resident ingest: blocks (host numpy or already-device jnp)
+        # append to ONE shared [n, cap] HBM ring; turbo windows are sliced
+        # on device, so per decode round only scalars go up and decoded
+        # bytes come down. Without it, the staged/turbo paths re-upload
+        # sample windows every round — through this image's tunnel the
+        # ingest bandwidth, not the compute, caps the whole runtime.
+        # Implies window_decode; streaming host EMA DC removal is skipped —
+        # the decode window's own preprocess (mean-subtract + peak norm,
+        # sync.preprocess) subsumes it.
+        self.device_ingest = bool(device_ingest)
+        window_decode = window_decode or self.device_ingest
         # Turbo path: instead of staged scan -> refine -> demod dispatches
         # (3+ per frame), run the FULL fused pipeline over each scanning
         # stream's window — one dispatch yields detection, refined start,
@@ -121,12 +230,16 @@ class BatchReceiver:
         cap = max_frame * 3 + max(8192, self.scan_bucket)
         self.streams = [
             _Stream(
-                cap,
+                cap if not self.device_ingest else 0,
                 f"{persist_dir}/stream{i}.db" if persist_dir else None,
                 resume,
             )
             for i in range(n_streams)
         ]
+        if self.device_ingest:
+            self.dring = DeviceRing(n_streams, cap)
+            for i, s in enumerate(self.streams):
+                s.ring = _DeviceRingView(self.dring, i)
         self.dc_alpha = dc_alpha
         self.dc_states = np.zeros(n_streams, dtype=np.float64)
         self._half = p.fft_size // 2
@@ -138,13 +251,20 @@ class BatchReceiver:
 
     # ---- ingest ----
 
-    def process_blocks(self, blocks: np.ndarray) -> None:
+    def process_blocks(self, blocks) -> None:
         """blocks: [n_streams, block_len] float32 — one audio block per
-        stream, all streams in lockstep (pad with zeros for silent ones)."""
-        assert blocks.shape[0] == self.n
-        cleaned = native.ema_dc_removal_batch(blocks, self.dc_alpha, self.dc_states)
-        for s, row in zip(self.streams, cleaned):
-            s.ring.write(row)
+        stream, all streams in lockstep (pad with zeros for silent ones).
+        In device-ingest mode, blocks may already be a device (jnp) array —
+        the zero-copy path."""
+        assert np.shape(blocks)[0] == self.n
+        if self.device_ingest:
+            self.dring.write(blocks)
+        else:
+            cleaned = native.ema_dc_removal_batch(
+                np.asarray(blocks), self.dc_alpha, self.dc_states
+            )
+            for s, row in zip(self.streams, cleaned):
+                s.ring.write(row)
         # iterate state steps until no stream progresses (frames can
         # complete several states within one block)
         for _ in range(8):
@@ -166,44 +286,82 @@ class BatchReceiver:
         p = self.mode.profile
         sym = p.symbol_len
         w = self.scan_bucket
-        windows = np.zeros((self.n, w), np.float32)
+        min_need = 4 * sym + 2 * self._half
         lens = np.zeros(self.n, np.int32)
+        bases: dict[int, int] = {}
         active = []
-        for i, s in enumerate(self.streams):
-            if s.state is not RecvState.IDLE:
-                continue
-            total = s.ring.total_written
-            s.scan_pos = max(s.scan_pos, total - s.ring.capacity, 0)
-            avail = total - s.scan_pos
-            if avail < 4 * sym + 2 * self._half:
-                continue  # too short to host a frame; staged flush drains tails
-            win = s.ring.get_range(s.scan_pos, min(avail, w))
-            if win is None:
-                continue
-            windows[i, : len(win)] = win
-            lens[i] = len(win)
-            active.append(i)
-        if not active:
-            return False
-        out = _batch_window_decode(
-            jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
-        )
+        if self.device_ingest:
+            total = self.dring.total_written
+            cap = self.dring.capacity
+            start_rel = np.zeros(self.n, np.int32)
+            min_rel = np.zeros(self.n, np.int32)
+            for i, s in enumerate(self.streams):
+                if s.state is not RecvState.IDLE:
+                    continue
+                s.scan_pos = max(s.scan_pos, total - cap, 0)
+                if total - s.scan_pos < min_need:
+                    continue
+                # window base: cover scan_pos..total, sliding left so the
+                # slice stays inside the ring; min_pos preserves resume
+                # semantics when the base precedes scan_pos
+                eff = max(min(s.scan_pos, total - w), total - cap)
+                start_rel[i] = eff - (total - cap)
+                min_rel[i] = s.scan_pos - eff
+                lens[i] = min(total - eff, w)
+                bases[i] = eff
+                active.append(i)
+            if not active:
+                return False
+            out = _batch_window_decode_dev(
+                self.dring.buf,
+                jnp.asarray(start_rel),
+                jnp.asarray(min_rel),
+                jnp.asarray(lens),
+                self.mode,
+                self._win_max_syms,
+                w,
+            )
+        else:
+            windows = np.zeros((self.n, w), np.float32)
+            for i, s in enumerate(self.streams):
+                if s.state is not RecvState.IDLE:
+                    continue
+                total = s.ring.total_written
+                s.scan_pos = max(s.scan_pos, total - s.ring.capacity, 0)
+                avail = total - s.scan_pos
+                if avail < min_need:
+                    continue  # too short to host a frame; staged flush drains tails
+                win = s.ring.get_range(s.scan_pos, min(avail, w))
+                if win is None:
+                    continue
+                windows[i, : len(win)] = win
+                lens[i] = len(win)
+                bases[i] = s.scan_pos
+                active.append(i)
+            if not active:
+                return False
+            out = _batch_window_decode(
+                jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
+            )
         detected = np.asarray(out["detected"])
         starts = np.asarray(out["start"])
         by_rows = np.asarray(out["bytes"])
         for i in active:
             s = self.streams[i]
+            base = bases[i]
             if not detected[i]:
-                s.scan_pos += max(int(lens[i]) - 2 * self._half + 1, 1)
+                s.scan_pos = max(
+                    s.scan_pos, base + max(int(lens[i]) - 2 * self._half + 1, 1)
+                )
                 continue
-            abs_start = s.scan_pos + int(starts[i])
+            abs_start = base + int(starts[i])
             max_payload = (
                 (s.assembler.chunk_size or 4096) + 11 if s.meta_received else PRE_META_MAX_PAYLOAD
             )
             if self.fec:
                 max_payload = framing.fec_wire_len(max_payload)
             est_end = abs_start + framing.estimate_frame_samples(max_payload, self.mode)
-            if est_end > s.scan_pos + int(lens[i]):
+            if est_end > base + int(lens[i]):
                 # frame extends past the window: stage it (refine already
                 # done by the fused pipeline, but the staged machine redoes
                 # it from the ring — correctness over elegance)

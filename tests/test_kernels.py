@@ -33,7 +33,7 @@ class TestFusedReceive:
         for name in ["QPSK", "16-QAM", "BPSK-ACOUSTIC", "BPSK-NARROW", "64-QAM"]:
             mode = MODES[name]
             signals, n_valid, max_syms = self._signals(mode)
-            ref = _batch_decode_signals_xla(signals, n_valid, mode, max_syms)
+            ref = _batch_decode_signals_xla(signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32), mode, max_syms)
             out = decode_fused(
                 signals, n_valid, jnp.zeros(signals.shape[0], jnp.int32),
                 mode, max_syms, interpret=True,
@@ -205,7 +205,7 @@ class TestStreamingKernels:
         assert not fused_receive_fits(signals.shape[1], mode, max_syms)
         sig = jnp.asarray(signals)
         nv = jnp.asarray(n_valid)
-        ref = _batch_decode_signals_xla(sig, nv, mode, max_syms)
+        ref = _batch_decode_signals_xla(sig, nv, jnp.zeros(sig.shape[0], jnp.int32), mode, max_syms)
         out = decode_long_fused(
             sig, nv, jnp.zeros(2, jnp.int32), mode, max_syms, interpret=True
         )

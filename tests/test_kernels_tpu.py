@@ -50,7 +50,7 @@ def test_fused_receive_matches_xla_on_hardware():
         max_syms = max((signals.shape[1] - 3 * sym) // sym, 1)
         sig = jnp.asarray(signals)
         nv = jnp.asarray(n_valid)
-        ref = _batch_decode_signals_xla(sig, nv, mode, max_syms)
+        ref = _batch_decode_signals_xla(sig, nv, jnp.zeros(sig.shape[0], jnp.int32), mode, max_syms)
         out = decode_fused(sig, nv, jnp.zeros(8, jnp.int32), mode, max_syms)
         assert np.array_equal(np.asarray(ref["start"]), np.asarray(out["start"])), name
         assert np.array_equal(np.asarray(ref["detected"]), np.asarray(out["detected"])), name
@@ -132,7 +132,7 @@ def test_streaming_kernels_match_xla_on_hardware():
     assert not fused_receive_fits(signals.shape[1], mode, max_syms)
     sig = jnp.asarray(signals)
     nvd = jnp.asarray(nv)
-    refl = _batch_decode_signals_xla(sig, nvd, mode, max_syms)
+    refl = _batch_decode_signals_xla(sig, nvd, jnp.zeros(sig.shape[0], jnp.int32), mode, max_syms)
     outl = decode_long_fused(sig, nvd, jnp.zeros(8, jnp.int32), mode, max_syms)
     assert np.array_equal(np.asarray(refl["start"]), np.asarray(outl["start"]))
     assert np.asarray(outl["detected"]).all()

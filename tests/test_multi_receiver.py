@@ -202,3 +202,30 @@ class TestBatchReceiverScale:
         for i, (f, r) in enumerate(zip(files, rx.results())):
             assert r["complete"], (i, r["missing"], r["stats"])
             assert r["data"] == f
+
+    def test_64_streams_device_ingest(self):
+        """Device-resident ring (zero sample H2D per decode round in the
+        turbo dispatch): same files decoded, blocks fed as device arrays."""
+        import jax.numpy as jnp
+
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(91)
+        files = [rng.bytes(8_000) for _ in range(4)]
+        signals = [
+            np.concatenate(list(api.encode_chunked(f, mode, f"d{i}.bin", batch=8)))
+            for i, f in enumerate(files)
+        ]
+        n = 16
+        rx = BatchReceiver(mode, n, scan_bucket=65536, device_ingest=True)
+        t = max(len(s) for s in signals)
+        block = 16384
+        for off in range(0, t, block):
+            blocks = np.zeros((n, block), np.float32)
+            for i in range(n):
+                seg = signals[i % 4][off : off + block]
+                blocks[i, : len(seg)] = seg
+            rx.process_blocks(jnp.asarray(blocks))
+        rx.flush()
+        for i, r in enumerate(rx.results()):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == files[i % 4]
