@@ -47,6 +47,12 @@ def _batch_refine(regions: jnp.ndarray, coarse_rel: jnp.ndarray, n_valid: jnp.nd
     return jax.vmap(lambda r, c, n: sync.refine_xcorr(r, c, profile, n))(regions, coarse_rel, n_valid)
 
 
+@partial(jax.jit, static_argnames=("length",))
+def _ring_gather(buf: jnp.ndarray, rows: jnp.ndarray, rel_starts: jnp.ndarray, length: int):
+    sel = jnp.take(buf, rows, axis=0)
+    return jax.vmap(lambda r, s: jax.lax.dynamic_slice(r, (s,), (length,)))(sel, rel_starts)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _ring_append(buf: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
     """Shift-ring write: keep the LAST capacity samples of every stream.
@@ -56,6 +62,37 @@ def _ring_append(buf: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
     so window reads are plain per-row dynamic slices — no modulo gathers."""
     l = blocks.shape[1]
     return jnp.concatenate([buf[:, l:], blocks.astype(jnp.float32)], axis=1)
+
+
+def _pack_round(detected: jnp.ndarray, start: jnp.ndarray, by: jnp.ndarray) -> jnp.ndarray:
+    """Pack one turbo round's results into a SINGLE uint8 matrix
+    [n, 5 + n_bytes]: col 0 = detected flag, cols 1-4 = start (big-endian),
+    rest = decoded bytes. One array -> ONE blocking D2H per round — every
+    extra fetch costs a full ~28 ms tunnel round trip, which dwarfed the
+    decode itself when detected/start/bytes came back separately."""
+    s = start.astype(jnp.int32)
+    head = jnp.stack(
+        [
+            detected.astype(jnp.uint8),
+            (s >> 24).astype(jnp.uint8),
+            (s >> 16).astype(jnp.uint8),
+            (s >> 8).astype(jnp.uint8),
+            (s & 0xFF).astype(jnp.uint8),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([head, by], axis=1)
+
+
+def _unpack_round(packed: np.ndarray):
+    detected = packed[:, 0].astype(bool)
+    starts = (
+        (packed[:, 1].astype(np.int64) << 24)
+        | (packed[:, 2].astype(np.int64) << 16)
+        | (packed[:, 3].astype(np.int64) << 8)
+        | packed[:, 4].astype(np.int64)
+    )
+    return detected, starts, packed[:, 5:]
 
 
 @partial(jax.jit, static_argnames=("mode", "max_syms", "w"))
@@ -71,17 +108,13 @@ def _batch_window_decode_dev(
     """Device-ring turbo dispatch: slice each stream's window out of the
     resident ring (vmapped dynamic slice — the samples NEVER cross the
     host boundary), then the fused full pipeline + vote + pack. Host
-    traffic per round: a few scalars up, decoded bytes down."""
+    traffic per round: a few scalars up, ONE packed result matrix down."""
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
     out = batch_decode_signals(windows, n_valid, mode, max_syms, min_pos=min_pos)
     b = out["bits"]
     if mode.repetition > 1:
         b = jnp_majority_vote(b, mode.repetition)
-    return {
-        "detected": out["detected"],
-        "start": out["start"],
-        "bytes": jnp_bits_to_bytes(b),
-    }
+    return _pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b))
 
 
 class DeviceRing:
@@ -116,6 +149,16 @@ class DeviceRing:
             jax.lax.dynamic_slice(self.buf[row], (jnp.int32(r),), (length,))
         )
 
+    def gather_ranges(self, rows: "list[int]", global_starts: "list[int]", length: int) -> np.ndarray:
+        """Batched host fetch: equal-length ranges for several streams in
+        ONE dispatch + D2H (the staged refine/demod stages would otherwise
+        pay a ~3.5 ms tunnel round trip per stream). Callers must pre-check
+        validity via rel()/total_written."""
+        rels = jnp.asarray([self.rel(s) for s in global_starts], jnp.int32)
+        return np.asarray(
+            _ring_gather(self.buf, jnp.asarray(rows, jnp.int32), rels, length)
+        )
+
 
 class _DeviceRingView:
     """Per-stream RingBuffer-API adapter over a shared DeviceRing row, so
@@ -144,27 +187,87 @@ class _DeviceRingView:
         raise NotImplementedError("device-ingest streams share the DeviceRing")
 
 
+def _multi_decode_core(
+    windows: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    mode: ModemMode,
+    n_sym_frame: int,
+    k_frames: int,
+):
+    """Detect + demod up to ``k_frames`` successive frames of KNOWN symbol
+    count per stream in ONE device program.
+
+    In steady state a chunked sender emits equal-length data frames
+    back-to-back, so after the metadata frame the receiver knows every
+    frame's symbol count. One blocking result fetch per turbo round costs a
+    full tunnel round trip (~28 ms here) — decoding K frames per round
+    divides that fixed cost by K. Each iteration re-runs detection past the
+    previous frame's body (min_pos advance of (3+n_sym)*sym excludes the
+    inter-frame silences, so the next preamble can never be skipped); the
+    HOST validates each slot in order and stops consuming at the first
+    short/failed frame (whose actual end it knows from the parse), so an
+    overshooting advance can never lose a frame."""
+    p = mode.profile
+    sym = p.symbol_len
+    slots = []
+    mp = min_pos
+    for _ in range(k_frames):
+        out = batch_decode_signals(windows, n_valid, mode, n_sym_frame, min_pos=mp)
+        b = out["bits"]
+        if mode.repetition > 1:
+            b = jnp_majority_vote(b, mode.repetition)
+        slots.append(_pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b)))
+        mp = jnp.where(
+            out["detected"], out["start"] + (3 + n_sym_frame) * sym, mp
+        ).astype(jnp.int32)
+    return jnp.stack(slots, axis=1)  # [n, K, 5 + n_bytes]
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "w"))
+def _batch_window_decode_multi_dev(
+    buf: jnp.ndarray,
+    start_rel: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    n_sym_frame: int,
+    k_frames: int,
+    w: int,
+):
+    windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
+    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames"))
+def _batch_window_decode_multi(
+    windows: jnp.ndarray,
+    min_pos: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    n_sym_frame: int,
+    k_frames: int,
+):
+    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames)
+
+
 @partial(jax.jit, static_argnames=("mode", "max_syms"))
 def _batch_window_decode(windows: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
     """The turbo path's ONE dispatch: full pipeline (preprocess + detect +
     refine + CE + demod — the fused Pallas kernel on TPU) over every
     scanning stream's window, with majority vote + byte packing fused on as
-    an epilogue so the D2H payload is decoded bytes."""
+    an epilogue; results come back as ONE packed matrix (see _pack_round)."""
     out = batch_decode_signals(windows, n_valid, mode, max_syms)
     b = out["bits"]
     if mode.repetition > 1:
         b = jnp_majority_vote(b, mode.repetition)
-    return {
-        "detected": out["detected"],
-        "start": out["start"],
-        "bytes": jnp_bits_to_bytes(b),
-    }
+    return _pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b))
 
 
 class _Stream:
     __slots__ = (
         "ring", "assembler", "stats", "state", "meta_received",
-        "scan_pos", "preamble_pos", "expected_frame_end",
+        "scan_pos", "preamble_pos", "expected_frame_end", "defer_total",
     )
 
     def __init__(self, ring_capacity: int, persist_path: str | None, resume: bool):
@@ -176,6 +279,10 @@ class _Stream:
         self.scan_pos = 0
         self.preamble_pos = -1
         self.expected_frame_end = -1
+        # turbo deferral: a detected frame that will fit a FUTURE window
+        # waits for samples instead of dropping to the staged machine;
+        # re-scan once total_written exceeds this
+        self.defer_total = -1
 
 
 class BatchReceiver:
@@ -192,6 +299,7 @@ class BatchReceiver:
         scan_bucket: int = SCAN_BUCKET,
         window_decode: bool = False,
         device_ingest: bool = False,
+        frames_per_round: int = 8,
     ):
         self.mode = mode
         self.fec = fec
@@ -207,6 +315,10 @@ class BatchReceiver:
         # sync.preprocess) subsumes it.
         self.device_ingest = bool(device_ingest)
         window_decode = window_decode or self.device_ingest
+        # turbo steady state: frames decoded per dispatch round (the
+        # blocking result fetch costs a full tunnel round trip, so K frames
+        # per round divides the dominant fixed cost by K)
+        self.frames_per_round = max(int(frames_per_round), 1)
         # Turbo path: instead of staged scan -> refine -> demod dispatches
         # (3+ per frame), run the FULL fused pipeline over each scanning
         # stream's window — one dispatch yields detection, refined start,
@@ -282,6 +394,75 @@ class BatchReceiver:
 
     # ---- turbo: fused window decode (scan+refine+demod in one dispatch) ----
 
+    def _multi_params(self, active: "list[int]") -> "tuple[int, int] | None":
+        """(n_sym_frame, est_len) when every active stream expects the SAME
+        data-frame shape (post-metadata steady state) — the precondition for
+        the K-frames-per-dispatch program."""
+        if self.frames_per_round <= 1:
+            return None
+        css = set()
+        for i in active:
+            s = self.streams[i]
+            if not s.meta_received or not s.assembler.chunk_size:
+                return None
+            css.add(s.assembler.chunk_size)
+        if len(css) != 1:
+            return None
+        mp_payload = css.pop() + 11
+        if self.fec:
+            mp_payload = framing.fec_wire_len(mp_payload)
+        return (
+            framing.num_symbols_for_payload(mp_payload, self.mode),
+            framing.estimate_frame_samples(mp_payload, self.mode),
+        )
+
+    def _consume_multi(self, active, bases, lens, packed, est_len: int, w: int) -> bool:
+        """Route up to K frame slots per stream, in order, stopping at the
+        first undetected / deferred / short / failed slot (whose true end
+        the host then knows, bounding any device-side advance overshoot)."""
+        progressed = False
+        for i in active:
+            s = self.streams[i]
+            base = bases[i]
+            s.defer_total = -1
+            for k in range(packed.shape[1]):
+                det, start_v, by_row = _unpack_round(packed[i : i + 1, k])
+                if not bool(det[0]):
+                    # nothing (more) in this window: positions up to the
+                    # scan horizon are clean — advance coverage
+                    s.scan_pos = max(
+                        s.scan_pos, base + max(int(lens[i]) - 2 * self._half + 1, 1)
+                    )
+                    progressed = True
+                    break
+                abs_start = base + int(start_v[0])
+                est_end = abs_start + est_len
+                if est_end > base + int(lens[i]):
+                    if est_len <= w:
+                        s.defer_total = est_end - 1  # wait for samples
+                    else:
+                        s.preamble_pos = abs_start
+                        s.scan_pos = abs_start + self._half
+                        s.state = RecvState.PREAMBLE_DETECTED
+                        progressed = True
+                    break
+                result = framing.parse_payload_bytes(by_row[0].tobytes(), min_len=6)
+                s.preamble_pos = abs_start
+                s.expected_frame_end = est_end
+                progressed = True
+                if decoder._parse_failed(result):
+                    s.state = RecvState.COLLECTING_FRAME  # staged retry ladder
+                    break
+                full = (
+                    isinstance(result, framing.DataFrame)
+                    and result.crc_valid
+                    and len(result.data) == s.assembler.chunk_size
+                )
+                self._route_result(s, result)
+                if not full:
+                    break  # short/other frame: rescan from its true end
+        return progressed
+
     def _window_decode_all(self) -> bool:
         p = self.mode.profile
         sym = p.symbol_len
@@ -298,6 +479,8 @@ class BatchReceiver:
             for i, s in enumerate(self.streams):
                 if s.state is not RecvState.IDLE:
                     continue
+                if s.defer_total >= 0 and total <= s.defer_total:
+                    continue  # deferred: waiting for more samples
                 s.scan_pos = max(s.scan_pos, total - cap, 0)
                 if total - s.scan_pos < min_need:
                     continue
@@ -306,12 +489,28 @@ class BatchReceiver:
                 # semantics when the base precedes scan_pos
                 eff = max(min(s.scan_pos, total - w), total - cap)
                 start_rel[i] = eff - (total - cap)
-                min_rel[i] = s.scan_pos - eff
+                min_rel[i] = max(s.scan_pos - eff, 0)
                 lens[i] = min(total - eff, w)
                 bases[i] = eff
                 active.append(i)
             if not active:
                 return False
+            multi = self._multi_params(active)
+            if multi:
+                n_sym_frame, est_len = multi
+                packed = np.asarray(
+                    _batch_window_decode_multi_dev(
+                        self.dring.buf,
+                        jnp.asarray(start_rel),
+                        jnp.asarray(min_rel),
+                        jnp.asarray(lens),
+                        self.mode,
+                        n_sym_frame,
+                        self.frames_per_round,
+                        w,
+                    )
+                )
+                return self._consume_multi(active, bases, lens, packed, est_len, w)
             out = _batch_window_decode_dev(
                 self.dring.buf,
                 jnp.asarray(start_rel),
@@ -327,6 +526,8 @@ class BatchReceiver:
                 if s.state is not RecvState.IDLE:
                     continue
                 total = s.ring.total_written
+                if s.defer_total >= 0 and total <= s.defer_total:
+                    continue  # deferred: waiting for more samples
                 s.scan_pos = max(s.scan_pos, total - s.ring.capacity, 0)
                 avail = total - s.scan_pos
                 if avail < min_need:
@@ -340,19 +541,34 @@ class BatchReceiver:
                 active.append(i)
             if not active:
                 return False
+            multi = self._multi_params(active)
+            if multi:
+                n_sym_frame, est_len = multi
+                packed = np.asarray(
+                    _batch_window_decode_multi(
+                        jnp.asarray(windows),
+                        jnp.zeros(self.n, jnp.int32),
+                        jnp.asarray(lens),
+                        self.mode,
+                        n_sym_frame,
+                        self.frames_per_round,
+                    )
+                )
+                return self._consume_multi(active, bases, lens, packed, est_len, w)
             out = _batch_window_decode(
                 jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
             )
-        detected = np.asarray(out["detected"])
-        starts = np.asarray(out["start"])
-        by_rows = np.asarray(out["bytes"])
+        detected, starts, by_rows = _unpack_round(np.asarray(out))
+        progressed = False
         for i in active:
             s = self.streams[i]
             base = bases[i]
+            s.defer_total = -1
             if not detected[i]:
                 s.scan_pos = max(
                     s.scan_pos, base + max(int(lens[i]) - 2 * self._half + 1, 1)
                 )
+                progressed = True
                 continue
             abs_start = base + int(starts[i])
             max_payload = (
@@ -360,25 +576,34 @@ class BatchReceiver:
             )
             if self.fec:
                 max_payload = framing.fec_wire_len(max_payload)
-            est_end = abs_start + framing.estimate_frame_samples(max_payload, self.mode)
+            est_len = framing.estimate_frame_samples(max_payload, self.mode)
+            est_end = abs_start + est_len
             if est_end > base + int(lens[i]):
-                # frame extends past the window: stage it (refine already
-                # done by the fused pipeline, but the staged machine redoes
-                # it from the ring — correctness over elegance)
+                if est_len <= w:
+                    # the frame will fit a FUTURE window once est_end
+                    # samples exist — wait instead of dropping to the
+                    # staged machine (whose per-stream range fetches cost a
+                    # dispatch each in device-ingest mode). Not progress:
+                    # nothing changes until more samples arrive.
+                    s.defer_total = est_end - 1
+                    continue
+                # frame longer than any window: stage it
                 s.preamble_pos = abs_start
                 s.scan_pos = abs_start + self._half
                 s.state = RecvState.PREAMBLE_DETECTED
+                progressed = True
                 continue
             n_sym = (est_end - abs_start - 3 * sym) // sym
             result = framing.parse_payload_bytes(by_rows[i].tobytes(), min_len=6)
             s.preamble_pos = abs_start
             s.expected_frame_end = est_end
+            progressed = True
             if decoder._parse_failed(result):
                 # hand the frame to the staged demod + its retry ladder
                 s.state = RecvState.COLLECTING_FRAME
                 continue
             self._route_result(s, result)
-        return True
+        return progressed
 
     # ---- batched scan ----
 
@@ -429,6 +654,7 @@ class BatchReceiver:
         coarse_rel = np.zeros(self.n, np.int32)
         lens = np.zeros(self.n, np.int32)
         active: list[tuple[int, int]] = []
+        pending: list[tuple[int, int, int]] = []  # (i, lo, avail)
         for i, s in enumerate(self.streams):
             if s.state is not RecvState.PREAMBLE_DETECTED:
                 continue
@@ -436,14 +662,43 @@ class BatchReceiver:
                 continue  # wait for samples
             lo = max(s.ring.total_written - s.ring.capacity, s.preamble_pos - radius, 0)
             avail = min(self._region_len, s.ring.available_from(lo))
-            region = s.ring.get_range(lo, avail)
-            if region is None:
-                s.state = RecvState.IDLE
-                continue
-            regions[i, : len(region)] = region
-            coarse_rel[i] = s.preamble_pos - lo
-            lens[i] = len(region)
-            active.append((i, lo))
+            pending.append((i, lo, avail))
+        if self.device_ingest and pending:
+            # one gather dispatch for all regions (fixed length; the lens
+            # array masks each stream's true extent)
+            glen = self._region_len
+            fetch = []
+            for i, lo, avail in pending:
+                end = min(lo + glen, self.dring.total_written)
+                if self.dring.rel(lo) < 0 or end <= lo:
+                    self.streams[i].state = RecvState.IDLE
+                    continue
+                fetch.append((i, lo, avail))
+            if fetch:
+                # slice a fixed glen window; samples past total_written are
+                # stale ring content, masked out by lens
+                safe_starts = [
+                    min(lo, max(self.dring.total_written - glen, self.dring.total_written - self.dring.capacity))
+                    for _, lo, _ in fetch
+                ]
+                got = self.dring.gather_ranges([i for i, _, _ in fetch], safe_starts, glen)
+                for k, (i, lo, avail) in enumerate(fetch):
+                    off = lo - safe_starts[k]
+                    regions[i, :avail] = got[k][off : off + avail]
+                    coarse_rel[i] = self.streams[i].preamble_pos - lo
+                    lens[i] = avail
+                    active.append((i, lo))
+        else:
+            for i, lo, avail in pending:
+                s = self.streams[i]
+                region = s.ring.get_range(lo, avail)
+                if region is None:
+                    s.state = RecvState.IDLE
+                    continue
+                regions[i, : len(region)] = region
+                coarse_rel[i] = s.preamble_pos - lo
+                lens[i] = len(region)
+                active.append((i, lo))
         if not active:
             return False
         best_rel, metric = _batch_refine(
@@ -486,15 +741,39 @@ class BatchReceiver:
             usable = (3 + n_sym) * sym
             frames = np.zeros((len(members), usable), np.float32)
             ok_members = []
-            for row, i in enumerate(members):
-                s = self.streams[i]
-                f = s.ring.get_range(s.preamble_pos, usable)
-                if f is None:
-                    s.stats.frame_errors += 1
-                    self._reset(s, None)
-                    continue
-                frames[row] = f
-                ok_members.append((row, i))
+            if self.device_ingest:
+                # ONE gather dispatch for the whole group (per-stream
+                # get_range costs a tunnel round trip each)
+                fetch: list[tuple[int, int]] = []
+                for row, i in enumerate(members):
+                    s = self.streams[i]
+                    if (
+                        self.dring.rel(s.preamble_pos) < 0
+                        or s.preamble_pos + usable > self.dring.total_written
+                    ):
+                        s.stats.frame_errors += 1
+                        self._reset(s, None)
+                        continue
+                    fetch.append((row, i))
+                if fetch:
+                    got = self.dring.gather_ranges(
+                        [i for _, i in fetch],
+                        [self.streams[i].preamble_pos for _, i in fetch],
+                        usable,
+                    )
+                    for k, (row, i) in enumerate(fetch):
+                        frames[row] = got[k]
+                        ok_members.append((row, i))
+            else:
+                for row, i in enumerate(members):
+                    s = self.streams[i]
+                    f = s.ring.get_range(s.preamble_pos, usable)
+                    if f is None:
+                        s.stats.frame_errors += 1
+                        self._reset(s, None)
+                        continue
+                    frames[row] = f
+                    ok_members.append((row, i))
             if not ok_members:
                 continue
             # ONE device dispatch per group: decode + majority vote + bit
