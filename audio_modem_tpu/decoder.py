@@ -22,8 +22,13 @@ import numpy as np
 
 from audio_modem_tpu import phy, sync
 from audio_modem_tpu.configs import ModemMode
-from audio_modem_tpu.configs import FRAME_FEC
-from audio_modem_tpu.framing import FrameError, ParseResult, parse_payload_bytes
+from audio_modem_tpu.configs import FRAME_DATA, FRAME_FEC, FRAME_META
+from audio_modem_tpu.framing import (
+    FrameError,
+    ParseResult,
+    num_symbols_for_payload,
+    parse_payload_bytes,
+)
 from audio_modem_tpu.ops.bits import bits_to_bytes, majority_vote, soft_combine
 
 PAD_BUCKET = 16384
@@ -219,17 +224,32 @@ def _fec_region_bytes(by: bytes) -> int:
     return min(len(by), 5 + int.from_bytes(by[1:5], "big"))
 
 
+TRACK_EARLY_BIAS = 2
+
+
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
 def _tracked_core(signal: jnp.ndarray, n_valid: jnp.ndarray, start: jnp.ndarray, mode: ModemMode, n_sym: int):
     """Re-demodulate the data region with the timing-tracking loop
-    (phy.demodulate_tracked) — used for long frames under clock drift."""
+    (phy.demodulate_tracked) — used for long frames under clock drift.
+
+    CE window and data timing are both biased TRACK_EARLY_BIAS samples early
+    (into the cyclic prefix): a window that starts at-or-after the true
+    symbol boundary leaks the next symbol's CP into the DFT (ISI), and the
+    xcorr-refined start is only exact to ±1 sample, so the unbiased
+    placement sat right on that cliff — under drift, frames whose refined
+    start landed 'late' failed even with tracking. Starting 2 samples into
+    the CP is always ISI-free (CP >= 64 everywhere) and the constant offset
+    cancels between CE and data (both shifted the same amount)."""
     p = mode.profile
     sym = p.symbol_len
     sig = sync.preprocess(signal, n_valid)
     ext = jnp.pad(sig, (0, 8192))
-    ce = jax.lax.dynamic_slice(ext, (start + 2 * sym,), (sym,))
+    eb = TRACK_EARLY_BIAS
+    ce = jax.lax.dynamic_slice(ext, (jnp.maximum(start + 2 * sym - eb, 0),), (sym,))
     ch_re, ch_im = phy.estimate_channel(ce, p)
-    return phy.demodulate_tracked(ext, start + 3 * sym, n_sym, ch_re, ch_im, mode)
+    return phy.demodulate_tracked(
+        ext, jnp.maximum(start + 3 * sym - eb, 0), n_sym, ch_re, ch_im, mode
+    )
 
 
 def decode_raw(
@@ -451,12 +471,41 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
                 return retry
     if _parse_failed(result):
         # timing-tracked retry: within-frame clock drift (reference
-        # incapacity, modem.js:397-405) — last rung of the chunk ladder
-        tbits = np.asarray(_chunk_tracked_core(frame_dev, mode, n_bucket))
+        # incapacity, modem.js:397-405) — last rung of the chunk ladder.
+        # The true payload symbol count (read from the decoded header —
+        # drift barely touches the first symbols, so the header survives
+        # even when the CRC fails) bounds the loop's timing measurement:
+        # bucket tails can reach the NEXT frame's preamble, whose pilots
+        # would otherwise poison the tracking fit.
+        b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
+        if mode.repetition > 1:
+            b = majority_vote(b, mode.repetition)
+        wire = _wire_payload_len(bytes(bits_to_bytes(b)))
+        nv = (
+            jnp.int32(min(max(num_symbols_for_payload(wire, mode), 1), n_bucket))
+            if wire is not None
+            else jnp.int32(n_sym)
+        )
+        tbits = np.asarray(_chunk_tracked_core(frame_dev, mode, n_bucket, nv))
         tresult = _bits_to_parse(tbits, n_sym, mode, min_len=6)
         if not _parse_failed(tresult):
             return tresult
     return result
+
+
+def _wire_payload_len(by: bytes) -> int | None:
+    """Wire payload length (bytes) read from a decoded frame header,
+    CRC-agnostic — None when the type/length fields are unreadable.
+    Field layout per parse_metadata / parse_data_chunk / parse_fec."""
+    if len(by) < 12:
+        return None
+    if by[0] == FRAME_DATA:
+        return 11 + int.from_bytes(by[5:7], "big")
+    if by[0] == FRAME_META:
+        return 16 + by[11]
+    if by[0] == FRAME_FEC:
+        return 5 + int.from_bytes(by[1:5], "big")
+    return None
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
@@ -492,20 +541,40 @@ TRACK_BLOCK_SYMS = 8
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym"))
-def _chunk_tracked_core(frame: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
+def _chunk_tracked_core(
+    frame: jnp.ndarray,
+    mode: ModemMode,
+    n_sym: int,
+    n_valid_sym: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Timing-tracked demod of a sync-aligned frame — the chunk-path analog
     of _tracked_core. Recovers frames whose WITHIN-frame clock drift walks
     the fixed symbol windows off the CP (e.g. an 11 s narrowband chunk at
     100 ppm drifts ~50 samples head-to-tail; the reference's phase-only
     pilot correction, modem.js:397-405, cannot follow that). Small tracking
     blocks (8 symbols) let the second-order loop acquire within even a
-    ~46-symbol QPSK chunk frame."""
+    ~46-symbol QPSK chunk frame.
+
+    CE + data timing biased TRACK_EARLY_BIAS samples into the CP (see
+    _tracked_core: the refined start is exact only to ±1 sample and a late
+    window start leaks next-symbol ISI). ``n_valid_sym`` keeps symbols past
+    the frame's true payload out of the timing measurement — a bucket-padded
+    slice can reach the NEXT frame's preamble, whose pilot-bin phases would
+    otherwise corrupt the loop for the real symbols."""
     p = mode.profile
     sym = p.symbol_len
-    ch_re, ch_im = phy.estimate_channel(frame[2 * sym : 3 * sym], p)
+    eb = TRACK_EARLY_BIAS
+    ch_re, ch_im = phy.estimate_channel(frame[2 * sym - eb : 3 * sym - eb], p)
     ext = jnp.pad(frame, (0, TRACK_BLOCK_SYMS * sym + 8192))
     bits, _tau = phy.demodulate_tracked(
-        ext, jnp.int32(3 * sym), n_sym, ch_re, ch_im, mode, block_syms=TRACK_BLOCK_SYMS
+        ext,
+        jnp.int32(3 * sym - eb),
+        n_sym,
+        ch_re,
+        ch_im,
+        mode,
+        block_syms=TRACK_BLOCK_SYMS,
+        n_valid_sym=n_valid_sym,
     )
     return bits
 

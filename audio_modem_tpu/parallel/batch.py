@@ -110,6 +110,52 @@ def _single_signal_decode(sig_ext, n_valid, min_pos, mode: ModemMode, max_syms: 
     }
 
 
+def _predicted_signal_decode(sig_ext, coarse, n_valid, mode: ModemMode, max_syms: int):
+    """Refine + CE + demod at a PREDICTED coarse position — no detection
+    scan. The steady-state chunked sender emits frames on an exact sample
+    cadence (frame body + inter-frame silences are synthesized digitally,
+    modem.js:718-766 / framing.build_data_chunk_frame), so frame k+1 starts
+    at start_k + cadence up to clock drift (~6 samples/frame at 200 ppm) —
+    well inside refine_xcorr's ±3·CP search radius. Detection confidence
+    comes from the xcorr metric threshold alone; a failed prediction returns
+    detected=False and the host re-runs a full scan from its last consumed
+    position, so a sender pause or restart can never lose a frame."""
+    p = mode.profile
+    sym = p.symbol_len
+    start, fine_metric = sync.refine_xcorr(sig_ext, coarse, p, n_valid)
+    ce = jax.lax.dynamic_slice(sig_ext, (start + 2 * sym,), (sym,))
+    ch_re, ch_im = phy.estimate_channel(ce, p)
+    data = jax.lax.dynamic_slice(sig_ext, (start + 3 * sym,), (max_syms * sym,))
+    bits = phy.demodulate(data.reshape(max_syms, sym), ch_re, ch_im, mode)
+    return {
+        "start": start,
+        "detected": fine_metric >= sync.XCORR_THRESHOLD,
+        "bits": bits,
+    }
+
+
+def preprocess_extend(signals: jnp.ndarray, n_valid: jnp.ndarray, mode: ModemMode, max_syms: int):
+    """preprocess + zero-extend, shared by the predicted-slot decode so the
+    window is normalized ONCE per round, not once per slot."""
+    sym = mode.profile.symbol_len
+    sig = sync.preprocess(signals, n_valid)
+    return jnp.pad(sig, ((0, 0), (0, (3 + max_syms) * sym)))
+
+
+def batch_decode_predicted(
+    ext: jnp.ndarray,
+    coarse: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    max_syms: int,
+):
+    """[B]-batched _predicted_signal_decode over a preprocess_extend'ed
+    window batch."""
+    return jax.vmap(
+        lambda e, c, nv: _predicted_signal_decode(e, c, nv, mode, max_syms)
+    )(ext, coarse, n_valid)
+
+
 def batch_decode_signals(
     signals: jnp.ndarray,
     n_valid: jnp.ndarray,

@@ -28,6 +28,7 @@ import numpy as np
 from audio_modem_tpu import decoder, framing, native, sync
 from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.ops.bits import bits_to_bytes, jnp_bits_to_bytes, jnp_majority_vote, soft_combine
+from audio_modem_tpu.parallel import batch
 from audio_modem_tpu.parallel.batch import batch_decode_chunk_frames_packed, batch_decode_signals
 from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
@@ -194,37 +195,67 @@ def _multi_decode_core(
     mode: ModemMode,
     n_sym_frame: int,
     k_frames: int,
+    cadence: int,
 ):
     """Detect + demod up to ``k_frames`` successive frames of KNOWN symbol
-    count per stream in ONE device program.
+    count and cadence per stream in ONE device program.
 
-    In steady state a chunked sender emits equal-length data frames
-    back-to-back, so after the metadata frame the receiver knows every
-    frame's symbol count. One blocking result fetch per turbo round costs a
-    full tunnel round trip (~28 ms here) — decoding K frames per round
-    divides that fixed cost by K. Each iteration re-runs detection past the
-    previous frame's body (min_pos advance of (3+n_sym)*sym excludes the
-    inter-frame silences, so the next preamble can never be skipped); the
-    HOST validates each slot in order and stops consuming at the first
-    short/failed frame (whose actual end it knows from the parse), so an
-    overshooting advance can never lose a frame."""
+    In steady state a chunked sender emits equal-length data frames on an
+    exact sample cadence, so after the metadata frame the receiver knows
+    every frame's symbol count AND spacing. One blocking result fetch per
+    turbo round costs a full tunnel round trip (~28 ms here) — decoding K
+    frames per round divides that fixed cost by K.
+
+    Slot 0 runs the FULL fused pipeline (scan + refine + demod, the Pallas
+    kernel on TPU). Slots 1..K-1 are CADENCE-PREDICTED: each refines around
+    prev_start + cadence (xcorr, ±3·CP radius — clock drift moves the true
+    start ~6 samples/frame at 200 ppm) and demodulates there, skipping the
+    O(window) detection scan entirely; a K-slot round costs ONE scan plus K
+    refine+demods. The HOST validates each slot in order and stops consuming
+    at the first undetected/short/failed slot, and only a slot-0 miss counts
+    as 'window clean' (a failed PREDICTION says nothing about frames at
+    other positions), so prediction failures can never lose a frame."""
     p = mode.profile
     sym = p.symbol_len
-    slots = []
-    mp = min_pos
-    for _ in range(k_frames):
-        out = batch_decode_signals(windows, n_valid, mode, n_sym_frame, min_pos=mp)
+
+    def pack(out):
         b = out["bits"]
         if mode.repetition > 1:
             b = jnp_majority_vote(b, mode.repetition)
-        slots.append(_pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b)))
-        mp = jnp.where(
-            out["detected"], out["start"] + (3 + n_sym_frame) * sym, mp
-        ).astype(jnp.int32)
-    return jnp.stack(slots, axis=1)  # [n, K, 5 + n_bytes]
+        return _pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b))
+
+    out0 = batch_decode_signals(windows, n_valid, mode, n_sym_frame, min_pos=min_pos)
+    packed0 = pack(out0)
+    if k_frames == 1:
+        return packed0[:, None]
+
+    ext = batch.preprocess_extend(windows, n_valid, mode, n_sym_frame)
+
+    # lax.scan (not a Python loop): the predicted-slot body is traced and
+    # compiled ONCE instead of k_frames-1 times — through this image's
+    # 20-100 s remote-compile relay an unrolled program would cost minutes
+    # of compile for zero runtime benefit (the slots are serial on the
+    # prev_start carry either way).
+    def step(carry, _):
+        prev_start, prev_ok = carry
+        coarse = jnp.clip(prev_start + cadence, 0, windows.shape[1] - 1).astype(jnp.int32)
+        out = batch.batch_decode_predicted(ext, coarse, n_valid, mode, n_sym_frame)
+        ok = out["detected"] & prev_ok
+        packed = pack({"detected": ok, "start": out["start"], "bits": out["bits"]})
+        return (out["start"].astype(jnp.int32), ok), packed
+
+    _, rest = jax.lax.scan(
+        step,
+        (out0["start"].astype(jnp.int32), out0["detected"]),
+        None,
+        length=k_frames - 1,
+    )
+    return jnp.concatenate(
+        [packed0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1
+    )  # [n, K, 5 + n_bytes]
 
 
-@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "w"))
+@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence", "w"))
 def _batch_window_decode_multi_dev(
     buf: jnp.ndarray,
     start_rel: jnp.ndarray,
@@ -233,13 +264,14 @@ def _batch_window_decode_multi_dev(
     mode: ModemMode,
     n_sym_frame: int,
     k_frames: int,
+    cadence: int,
     w: int,
 ):
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
-    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames)
+    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames, cadence)
 
 
-@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames"))
+@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence"))
 def _batch_window_decode_multi(
     windows: jnp.ndarray,
     min_pos: jnp.ndarray,
@@ -247,8 +279,9 @@ def _batch_window_decode_multi(
     mode: ModemMode,
     n_sym_frame: int,
     k_frames: int,
+    cadence: int,
 ):
-    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames)
+    return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames, cadence)
 
 
 @partial(jax.jit, static_argnames=("mode", "max_syms"))
@@ -339,7 +372,8 @@ class BatchReceiver:
         if fec:
             max_payload = framing.fec_wire_len(max_payload)
         max_frame = framing.estimate_frame_samples(max_payload, mode)
-        cap = max_frame * 3 + max(8192, self.scan_bucket)
+        # the ring must hold a whole K-frame turbo round plus scan margin
+        cap = max_frame * max(3, self.frames_per_round + 1) + max(8192, self.scan_bucket)
         self.streams = [
             _Stream(
                 cap if not self.device_ingest else 0,
@@ -394,64 +428,117 @@ class BatchReceiver:
 
     # ---- turbo: fused window decode (scan+refine+demod in one dispatch) ----
 
-    def _multi_params(self, active: "list[int]") -> "tuple[int, int] | None":
-        """(n_sym_frame, est_len) when every active stream expects the SAME
-        data-frame shape (post-metadata steady state) — the precondition for
-        the K-frames-per-dispatch program."""
+    def _multi_params(self, active: "list[int]", w_cap: int) -> "tuple[int, int, int, int, int] | None":
+        """(n_sym_frame, est_len, cadence, k, w) when every active stream
+        expects the SAME data-frame shape (post-metadata steady state) — the
+        precondition for the K-frames-per-dispatch program.
+
+        k is the number of frame slots this round: the configured
+        frames_per_round, clamped by the fewest chunks any active stream
+        still needs (slots past the transfer's end would each pay a full
+        window scan for nothing) and by how many frame cadences fit the
+        window budget, then bucketed to a power of two so at most
+        log2(frames_per_round) distinct programs ever compile. w is the
+        turbo window sized to HOLD k frames — with the default scan-bucket
+        window only ~1.5 frames fit, so K-slot rounds were wasting most of
+        their slots."""
         if self.frames_per_round <= 1:
             return None
         css = set()
+        remaining = 1 << 30
         for i in active:
             s = self.streams[i]
             if not s.meta_received or not s.assembler.chunk_size:
                 return None
             css.add(s.assembler.chunk_size)
+            remaining = min(
+                remaining, max(s.assembler.total_chunks - s.assembler.received_count, 1)
+            )
         if len(css) != 1:
             return None
         mp_payload = css.pop() + 11
         if self.fec:
             mp_payload = framing.fec_wire_len(mp_payload)
+        p = self.mode.profile
+        est_len = framing.estimate_frame_samples(mp_payload, self.mode)
+        cadence = est_len + p.silence_pre_chunk(False) + p.silence_post_chunk()
+        margin = 4 * p.symbol_len + 2 * self._half + 2048
+        k = min(self.frames_per_round, remaining, max((w_cap - margin) // cadence, 1))
+        if k <= 1:
+            return None
+        k = 1 << (k.bit_length() - 1)  # power-of-two program buckets
+        w = -(-(k * cadence + margin) // 128) * 128
         return (
             framing.num_symbols_for_payload(mp_payload, self.mode),
-            framing.estimate_frame_samples(mp_payload, self.mode),
+            est_len,
+            cadence,
+            k,
+            min(w, w_cap),
         )
 
-    def _consume_multi(self, active, bases, lens, packed, est_len: int, w: int) -> bool:
+    def _consume_multi(self, active, bases, lens, packed, est_len: int, cadence: int, w: int) -> bool:
         """Route up to K frame slots per stream, in order, stopping at the
         first undetected / deferred / short / failed slot (whose true end
-        the host then knows, bounding any device-side advance overshoot)."""
-        progressed = False
+        the host then knows, bounding any device-side advance overshoot).
+
+        Returns whether another round could make progress NOW: a stream
+        whose last slot came back undetected (window drained) or deferred
+        (waiting for samples) contributes nothing until more samples arrive,
+        so a round of all-drained streams returns False — otherwise every
+        ingest block paid one or two extra ~28 ms no-op round trips."""
+        rerun = False
         for i in active:
             s = self.streams[i]
             base = bases[i]
             s.defer_total = -1
+            last_start = -1
+
+            def k_next() -> int:
+                return min(
+                    self.frames_per_round,
+                    max(s.assembler.total_chunks - s.assembler.received_count, 1),
+                )
+
             for k in range(packed.shape[1]):
                 det, start_v, by_row = _unpack_round(packed[i : i + 1, k])
                 if not bool(det[0]):
-                    # nothing (more) in this window: positions up to the
-                    # scan horizon are clean — advance coverage
-                    s.scan_pos = max(
-                        s.scan_pos, base + max(int(lens[i]) - 2 * self._half + 1, 1)
-                    )
-                    progressed = True
+                    if k == 0:
+                        # full-scan slot found nothing: positions up to the
+                        # scan horizon are clean — advance coverage. If the
+                        # window ended short of the stream's write head
+                        # there is more unscanned data to cover right now.
+                        s.scan_pos = max(
+                            s.scan_pos, base + max(int(lens[i]) - 2 * self._half + 1, 1)
+                        )
+                        if base + int(lens[i]) < s.ring.total_written:
+                            rerun = True
+                    else:
+                        # a failed PREDICTION says nothing about frames at
+                        # other positions — rescan (full) from the last
+                        # consumed position next round
+                        rerun = True
                     break
                 abs_start = base + int(start_v[0])
                 est_end = abs_start + est_len
                 if est_end > base + int(lens[i]):
                     if est_len <= w:
-                        s.defer_total = est_end - 1  # wait for samples
+                        # wait until a whole round of frames can exist, not
+                        # just this one: steady-state senders emit chunks on
+                        # a fixed cadence, so one K-slot dispatch per K
+                        # frames replaces one dispatch per frame
+                        s.defer_total = est_end - 1 + (k_next() - 1) * cadence
                     else:
                         s.preamble_pos = abs_start
                         s.scan_pos = abs_start + self._half
                         s.state = RecvState.PREAMBLE_DETECTED
-                        progressed = True
+                        rerun = True
                     break
                 result = framing.parse_payload_bytes(by_row[0].tobytes(), min_len=6)
                 s.preamble_pos = abs_start
                 s.expected_frame_end = est_end
-                progressed = True
                 if decoder._parse_failed(result):
                     s.state = RecvState.COLLECTING_FRAME  # staged retry ladder
+                    rerun = True
                     break
                 full = (
                     isinstance(result, framing.DataFrame)
@@ -460,8 +547,21 @@ class BatchReceiver:
                 )
                 self._route_result(s, result)
                 if not full:
-                    break  # short/other frame: rescan from its true end
-        return progressed
+                    rerun = True  # short/other frame: rescan from its true end
+                    break
+                last_start = abs_start
+            else:
+                # every slot routed a full frame. If the NEXT frame (one
+                # cadence on) could already be complete in the ring, another
+                # round can progress now; otherwise self-defer a whole
+                # K-round ahead — skipping the detect-then-defer round that
+                # would otherwise cost a full scan + round trip per K
+                next_end = last_start + cadence + est_len
+                if next_end <= s.ring.total_written:
+                    rerun = True
+                else:
+                    s.defer_total = next_end - 1 + (k_next() - 1) * cadence
+        return rerun
 
     def _window_decode_all(self) -> bool:
         p = self.mode.profile
@@ -476,6 +576,17 @@ class BatchReceiver:
             cap = self.dring.capacity
             start_rel = np.zeros(self.n, np.int32)
             min_rel = np.zeros(self.n, np.int32)
+
+            def fill(i: int, s: _Stream, w_eff: int) -> None:
+                # window base: cover scan_pos..total, sliding left so the
+                # slice stays inside the ring; min_pos preserves resume
+                # semantics when the base precedes scan_pos
+                eff = max(min(s.scan_pos, total - w_eff), total - cap)
+                start_rel[i] = eff - (total - cap)
+                min_rel[i] = max(s.scan_pos - eff, 0)
+                lens[i] = min(total - eff, w_eff)
+                bases[i] = eff
+
             for i, s in enumerate(self.streams):
                 if s.state is not RecvState.IDLE:
                     continue
@@ -484,20 +595,15 @@ class BatchReceiver:
                 s.scan_pos = max(s.scan_pos, total - cap, 0)
                 if total - s.scan_pos < min_need:
                     continue
-                # window base: cover scan_pos..total, sliding left so the
-                # slice stays inside the ring; min_pos preserves resume
-                # semantics when the base precedes scan_pos
-                eff = max(min(s.scan_pos, total - w), total - cap)
-                start_rel[i] = eff - (total - cap)
-                min_rel[i] = max(s.scan_pos - eff, 0)
-                lens[i] = min(total - eff, w)
-                bases[i] = eff
+                fill(i, s, w)
                 active.append(i)
             if not active:
                 return False
-            multi = self._multi_params(active)
+            multi = self._multi_params(active, cap)
             if multi:
-                n_sym_frame, est_len = multi
+                n_sym_frame, est_len, cadence, k, w_multi = multi
+                for i in active:  # re-slice with the K-frame window
+                    fill(i, self.streams[i], w_multi)
                 packed = np.asarray(
                     _batch_window_decode_multi_dev(
                         self.dring.buf,
@@ -506,11 +612,12 @@ class BatchReceiver:
                         jnp.asarray(lens),
                         self.mode,
                         n_sym_frame,
-                        self.frames_per_round,
-                        w,
+                        k,
+                        cadence,
+                        w_multi,
                     )
                 )
-                return self._consume_multi(active, bases, lens, packed, est_len, w)
+                return self._consume_multi(active, bases, lens, packed, est_len, cadence, w_multi)
             out = _batch_window_decode_dev(
                 self.dring.buf,
                 jnp.asarray(start_rel),
@@ -541,9 +648,12 @@ class BatchReceiver:
                 active.append(i)
             if not active:
                 return False
-            multi = self._multi_params(active)
+            # host-fed windows stay at scan_bucket width (bigger windows
+            # would multiply the per-round sample upload); K clamps to the
+            # frame cadences that width can hold
+            multi = self._multi_params(active, w)
             if multi:
-                n_sym_frame, est_len = multi
+                n_sym_frame, est_len, cadence, k, _ = multi
                 packed = np.asarray(
                     _batch_window_decode_multi(
                         jnp.asarray(windows),
@@ -551,10 +661,11 @@ class BatchReceiver:
                         jnp.asarray(lens),
                         self.mode,
                         n_sym_frame,
-                        self.frames_per_round,
+                        k,
+                        cadence,
                     )
                 )
-                return self._consume_multi(active, bases, lens, packed, est_len, w)
+                return self._consume_multi(active, bases, lens, packed, est_len, cadence, w)
             out = _batch_window_decode(
                 jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
             )

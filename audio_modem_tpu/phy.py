@@ -210,6 +210,7 @@ def demodulate_tracked(
     ch_im: jnp.ndarray,
     mode: ModemMode,
     block_syms: int = 64,
+    n_valid_sym: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Demodulate ``n_sym`` symbols with SAMPLE-TIMING TRACKING — the
     capability that lets multi-minute frames survive TX/RX clock offset.
@@ -233,6 +234,14 @@ def demodulate_tracked(
     The channel estimate from the frame-head CE symbol stays valid: timing
     normalization removes the drift-induced phase walk, and the common-phase
     rotation (same as the reference's) absorbs the rest.
+
+    ``n_valid_sym`` (traced, optional) marks how many leading symbols carry
+    real payload: symbols past it are excluded from the timing MEASUREMENT
+    (their bits still come out, as junk). Without it, a caller whose buffer
+    tail runs past the frame's true end — e.g. a bucket-padded slice that
+    reaches into the NEXT frame's preamble — feeds garbage pilot phases to
+    the feedback loop and the acquisition/LS fit drags the real symbols'
+    timing off with it.
 
     Returns (bits [n_sym * bits_per_symbol], final tau). Opt-in (not the
     default demod) because on drift-free signals the extra float work
@@ -293,6 +302,9 @@ def demodulate_tracked(
         mag_ok = (pr[:, 1:] ** 2 + pi[:, 1:] ** 2 > 1e-12) & (
             pr[:, :-1] ** 2 + pi[:, :-1] ** 2 > 1e-12
         )
+        if n_valid_sym is not None:
+            sym_idx = b * block_syms + jnp.arange(block_syms)
+            mag_ok = mag_ok & (sym_idx < n_valid_sym)[:, None]
         ang = jnp.where(mag_ok, jnp.arctan2(u_im, u_re), 0.0)  # [B, np-1]
         dks = kp[1:] - kp[:-1]  # pilot spacings, bins
         coef = jnp.where(mag_ok, (two_pi / fft) * dks[None, :], 0.0)

@@ -203,6 +203,31 @@ class TestBatchReceiverScale:
             assert r["complete"], (i, r["missing"], r["stats"])
             assert r["data"] == f
 
+    def test_turbo_predicted_slots_under_clock_drift(self):
+        """The K-frames-per-round turbo program predicts slot k's start from
+        slot k-1's + the frame cadence; at ±100 ppm TX/RX clock offset the
+        prediction drifts ~3 samples/frame, which refine_xcorr's ±3·CP
+        search radius must absorb. 12 chunks/stream with frames_per_round=4
+        forces several multi-slot rounds through the drifted cadence."""
+        from audio_modem_tpu import channel
+
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(97)
+        files = [rng.bytes(mode.chunk_size * 12) for _ in range(2)]
+        signals = []
+        for i, (f, ppm) in enumerate(zip(files, (100.0, -100.0))):
+            sig = np.concatenate(list(api.encode_chunked(f, mode, f"c{i}", batch=16)))
+            signals.append(
+                channel.apply_channel_np(
+                    sig, channel.ChannelSpec(clock_ppm=ppm, snr_db=30.0), seed=11 + i
+                )
+            )
+        rx = BatchReceiver(mode, 2, scan_bucket=65536, window_decode=True, frames_per_round=4)
+        _feed_batch(rx, signals, block=32768)
+        for i, (f, r) in enumerate(zip(files, rx.results())):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
+
     def test_64_streams_device_ingest(self):
         """Device-resident ring (zero sample H2D per decode round in the
         turbo dispatch): same files decoded, blocks fed as device arrays."""
