@@ -123,18 +123,38 @@ class DeviceRing:
     HBM, shift-write semantics (see _ring_append). The multi-stream analog
     of RingBuffer whose SAMPLES stay on device — through this image's
     tunnel, re-uploading scan windows costs more than the decode itself, and
-    on any hardware it halves ingest bandwidth."""
+    on any hardware it halves ingest bandwidth.
 
-    def __init__(self, n: int, capacity: int):
+    ``mesh``: optional jax.sharding.Mesh — the ring (and every block written
+    into it) is sharded over the stream axis, so the turbo decode dispatches
+    partition across chips with zero cross-chip sample traffic (streams are
+    independent; only the packed per-stream result rows are gathered)."""
+
+    def __init__(self, n: int, capacity: int, mesh=None):
         self.capacity = -(-capacity // 128) * 128
-        self.buf = jnp.zeros((n, self.capacity), jnp.float32)
+        self.sharding = None
+        if mesh is not None:
+            from audio_modem_tpu.parallel.mesh import batch_sharding
+
+            if n % mesh.size != 0:
+                raise ValueError(
+                    f"DeviceRing: n_streams={n} not divisible by mesh size {mesh.size}"
+                )
+            self.sharding = batch_sharding(mesh)
+        self.buf = jnp.zeros((n, self.capacity), jnp.float32, device=self.sharding)
         self.total_written = 0
 
     def write(self, blocks) -> None:
         l = int(np.shape(blocks)[1])
         if l > self.capacity:
             blocks = blocks[:, -self.capacity :]
-        self.buf = _ring_append(self.buf, jnp.asarray(blocks))
+        blocks = jnp.asarray(blocks)
+        if self.sharding is not None:
+            # place the incoming block batch on the mesh ONCE here (row i of
+            # the block goes to the chip holding ring row i), so the donated
+            # shift-append never reshards
+            blocks = jax.device_put(blocks, self.sharding)
+        self.buf = _ring_append(self.buf, blocks)
         self.total_written += l
 
     def rel(self, global_start: int) -> int:
@@ -333,10 +353,19 @@ class BatchReceiver:
         window_decode: bool = False,
         device_ingest: bool = False,
         frames_per_round: int = 8,
+        mesh=None,
     ):
         self.mode = mode
         self.fec = fec
         self.n = n_streams
+        # Multi-chip: shard the stream axis over a mesh. The DeviceRing and
+        # every turbo decode dispatch partition along that axis (GSPMD; each
+        # chip owns n/mesh.size streams end-to-end), so the runtime scales
+        # across ICI exactly like the raw batch kernels do. Implies
+        # device_ingest — host-fed windows would re-gather samples per round.
+        self.mesh = mesh
+        if mesh is not None:
+            device_ingest = True
         # Device-resident ingest: blocks (host numpy or already-device jnp)
         # append to ONE shared [n, cap] HBM ring; turbo windows are sliced
         # on device, so per decode round only scalars go up and decoded
@@ -383,7 +412,7 @@ class BatchReceiver:
             for i in range(n_streams)
         ]
         if self.device_ingest:
-            self.dring = DeviceRing(n_streams, cap)
+            self.dring = DeviceRing(n_streams, cap, mesh=self.mesh)
             for i, s in enumerate(self.streams):
                 s.ring = _DeviceRingView(self.dring, i)
         self.dc_alpha = dc_alpha

@@ -75,10 +75,11 @@ def main() -> None:
 
     log(f"building {n_streams} QPSK frames")
     rng = np.random.default_rng(0)
-    frames = [
-        framing.build_data_chunk_frame(rng.bytes(chunk_size), seq, mode)
-        for seq in range(8)
-    ]
+    # ONE batched synthesis call: sequential per-frame builds each pay a
+    # full tunnel round trip (observed ~28 s/frame on a cold tunnel)
+    frames = list(
+        framing.build_data_chunk_frames([rng.bytes(chunk_size) for _ in range(8)], 0, mode)
+    )
     frames = frames * (n_streams // len(frames))
     signals, n_valid = pad_signals(frames)
     pad_len = signals.shape[1]
@@ -441,9 +442,9 @@ def main() -> None:
             payload = (
                 128 if mode_name == "BPSK-NARROW" else 512 if "BPSK" in mode_name else m.chunk_size
             )
-            mframes = [
-                framing.build_data_chunk_frame(rng.bytes(payload), seq, m) for seq in range(8)
-            ] * 8
+            mframes = list(
+                framing.build_data_chunk_frames([rng.bytes(payload) for _ in range(8)], 0, m)
+            ) * 8
             msignals, mnv = pad_signals(mframes)
             mmax_syms = max((msignals.shape[1] - 3 * msym) // msym, 1)
             ms_dev = jax.device_put(jnp.asarray(msignals))
