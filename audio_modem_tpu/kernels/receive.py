@@ -216,17 +216,23 @@ def _group_syms(sym: int, n_sym: int) -> int:
     return g
 
 
-def _tile_rows(x: jnp.ndarray, reps: int) -> jnp.ndarray:
-    """[8, n] -> [8*reps, n], repeating the 8-row block (row r takes source
-    row r % 8) via an exact {0,1} one-hot matmul — the Mosaic-legal way to
-    tile across sublanes (concat/pad at sublane offsets is rejected)."""
+def _tile_rows(x: jnp.ndarray, reps: int, stream_major: bool = False) -> jnp.ndarray:
+    """[8, n] -> [8*reps, n], repeating the 8-row block via an exact {0,1}
+    one-hot matmul — the Mosaic-legal way to tile across sublanes (concat/pad
+    at sublane offsets is rejected). Row r takes source row r % 8
+    (symbol-major: row k*8+i = stream i, symbol k) or r // reps when
+    ``stream_major`` (row i*reps+k = stream i, symbol k — the layout the
+    flat streaming kernel's lane-aligned reshape produces)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * reps, _ROWS), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (_ROWS * reps, _ROWS), 1)
-    sel = (r % _ROWS == c).astype(jnp.float32)
+    src = r // reps if stream_major else r % _ROWS
+    sel = (src == c).astype(jnp.float32)
     return _dot_exact3(sel, x)
 
 
-def _tiled_channel(ch: jnp.ndarray, reps: int, nd_pad: int, np_pad: int):
+def _tiled_channel(
+    ch: jnp.ndarray, reps: int, nd_pad: int, np_pad: int, stream_major: bool = False
+):
     """Tile the [8, SECT] channel estimate to [8*reps, *] row blocks and
     pre-divide conj(H) by |H|^2 ONCE PER FRAME, so EQ + demap + pack run
     once per G-symbol group on full [8G, n] tiles (G=16 -> 128 rows = the
@@ -237,10 +243,10 @@ def _tiled_channel(ch: jnp.ndarray, reps: int, nd_pad: int, np_pad: int):
     hp_re = ch[:, 2 * nd_pad : 2 * nd_pad + np_pad]
     hp_im = ch[:, 2 * nd_pad + np_pad :]
     if reps > 1:
-        hd_re = _tile_rows(hd_re, reps)
-        hd_im = _tile_rows(hd_im, reps)
-        hp_re = _tile_rows(hp_re, reps)
-        hp_im = _tile_rows(hp_im, reps)
+        hd_re = _tile_rows(hd_re, reps, stream_major)
+        hd_im = _tile_rows(hd_im, reps, stream_major)
+        hp_re = _tile_rows(hp_re, reps, stream_major)
+        hp_im = _tile_rows(hp_im, reps, stream_major)
     hd_mag = hd_re * hd_re + hd_im * hd_im
     hp_mag = hp_re * hp_re + hp_im * hp_im
     hd_ok = hd_mag > 1e-10
@@ -694,6 +700,57 @@ def _chunk_stream_kernel(
             ]
 
 
+def _chunk_stream_flat_kernel(
+    data_ref, ch_ref, scale_ref, rx_ref, pack_ref, out_ref, tiled_ref,
+    *, mode: ModemMode, n_all: int,
+):
+    """One grid step of the FLAT streaming demod kernel (sym % 128 == 0
+    profiles): the whole [8, n_all, sym] super-block collapses to a
+    [8*n_all, sym] stream-major matrix by a layout-preserving leading-dim
+    merge (minor dim stays the lane axis), the CP-stripped bodies are a
+    contiguous [:, :fft] slice of it, and ONE dot_bf16x3 feeds ONE
+    _eq_demap_pack over all n_all symbols x 8 streams.
+
+    This removes the v2 kernel's 2 x g_syms strided sublane copies per
+    sub-group (body gather + words scatter), which cost it ~1.5x vs plain
+    XLA on long narrowband frames (BENCH r3 A/B: 785 vs 1179 Msps) — XLA
+    reads strided operands directly into its fused matmul; now the kernel
+    does too. Output rows stay stream-major per block; the XLA epilogue
+    transposes them back (HBM reshuffle, negligible vs the demod)."""
+    profile = mode.profile
+    g = _geometry(profile)
+    sym = profile.symbol_len
+    fft = profile.fft_size
+    nd_pad, np_pad = g["nd_pad"], g["np_pad"]
+    sect = 2 * (nd_pad + np_pad)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _build_tiled():
+        hd_re, hd_im, hd_ok, hp_re, hp_im, hp_ok = _tiled_channel(
+            ch_ref[...], n_all, nd_pad, np_pad, stream_major=True
+        )
+        tiled_ref[:, :nd_pad] = hd_re
+        tiled_ref[:, nd_pad : 2 * nd_pad] = hd_im
+        tiled_ref[:, 2 * nd_pad : 2 * nd_pad + np_pad] = hp_re
+        tiled_ref[:, 2 * nd_pad + np_pad : sect] = hp_im
+        tiled_ref[:, sect : sect + nd_pad] = hd_ok.astype(jnp.float32)
+        tiled_ref[:, sect + nd_pad : sect + nd_pad + np_pad] = hp_ok.astype(jnp.float32)
+
+    tl = tiled_ref[...]
+    tiled = (
+        tl[:, :nd_pad],
+        tl[:, nd_pad : 2 * nd_pad],
+        tl[:, sect : sect + nd_pad] > 0.5,
+        tl[:, 2 * nd_pad : 2 * nd_pad + np_pad],
+        tl[:, 2 * nd_pad + np_pad : sect],
+        tl[:, sect + nd_pad : sect + nd_pad + np_pad] > 0.5,
+    )
+    smul = _tile_rows(scale_ref[...], n_all, stream_major=True)  # [8*n_all, 1]
+    body = data_ref[...].reshape(_ROWS * n_all, sym)[:, :fft] * smul
+    spec = dot_bf16x3(body, rx_ref[...])
+    out_ref[...] = _eq_demap_pack(spec, *tiled, pack_ref[...], mode, nd_pad, np_pad)
+
+
 def _stream_demod_words(
     data: jnp.ndarray,
     ch: jnp.ndarray,
@@ -724,6 +781,44 @@ def _stream_demod_words(
     rx = jnp.asarray(_rx_sections(profile))
     pack = jnp.asarray(_pack_matrix(mode))
     sect = rx.shape[1]
+
+    if sym % _LANE == 0:
+        # flat path: lane-aligned symbol slots -> one [8*n_all, fft] dot per
+        # grid step, zero in-kernel copies (see _chunk_stream_flat_kernel)
+        n_all = sub_groups * g_syms
+        data3 = data.reshape(b, n_super * n_all, sym)
+        kernel = pl.pallas_call(
+            partial(_chunk_stream_flat_kernel, mode=mode, n_all=n_all),
+            grid=(b // _ROWS, n_super),
+            in_specs=[
+                pl.BlockSpec((_ROWS, n_all, sym), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROWS, sect), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROWS, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(rx.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(pack.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (_ROWS * n_all, _LANE), lambda i, s: (i * n_super + s, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                ((b // _ROWS) * n_super * _ROWS * n_all, _LANE), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_ROWS * n_all, 3 * (g["nd_pad"] + g["np_pad"])), jnp.float32),
+            ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )
+        wflat = kernel(data3.astype(jnp.float32), ch, scale, rx, pack)
+        # stream-major block rows -> the symbol-major [B, syms*128] layout
+        # the epilogue expects (cheap HBM shuffle vs the demod FLOPs)
+        return (
+            wflat.reshape(b // _ROWS, n_super, _ROWS, n_all, _LANE)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b, n_super * n_all * _LANE)
+        )
 
     kernel = pl.pallas_call(
         partial(_chunk_stream_kernel, mode=mode, g_syms=g_syms, sub_groups=sub_groups),
