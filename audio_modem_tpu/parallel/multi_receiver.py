@@ -34,6 +34,7 @@ from audio_modem_tpu.runtime.assembler import ChunkAssembler
 from audio_modem_tpu.runtime.receiver import PRE_META_MAX_PAYLOAD, STREAM_MIN_ENERGY, RecvState
 from audio_modem_tpu.runtime.ring import RingBuffer
 from audio_modem_tpu.utils.metrics import StreamStats
+from audio_modem_tpu.utils.trace import StageTimer
 
 SCAN_BUCKET = 8192
 
@@ -216,6 +217,7 @@ def _multi_decode_core(
     n_sym_frame: int,
     k_frames: int,
     cadence: int,
+    pred0: jnp.ndarray | None = None,
 ):
     """Detect + demod up to ``k_frames`` successive frames of KNOWN symbol
     count and cadence per stream in ONE device program.
@@ -244,10 +246,25 @@ def _multi_decode_core(
             b = jnp_majority_vote(b, mode.repetition)
         return _pack_round(out["detected"], out["start"], jnp_bits_to_bytes(b))
 
-    out0 = batch_decode_signals(windows, n_valid, mode, n_sym_frame, min_pos=min_pos)
-    packed0 = pack(out0)
-    if k_frames == 1:
-        return packed0[:, None]
+    if pred0 is None:
+        out0 = batch_decode_signals(windows, n_valid, mode, n_sym_frame, min_pos=min_pos)
+        packed0 = pack(out0)
+        if k_frames == 1:
+            return packed0[:, None]
+        carry0 = (out0["start"].astype(jnp.int32), out0["detected"])
+        n_pred = k_frames - 1
+    else:
+        # FULLY predicted round: the host knows slot 0's position from the
+        # previous round's cadence bookkeeping, so even the O(window)
+        # Schmidl-Cox scan is skipped — a steady-state round is K xcorr
+        # refine + demods and nothing else. A slot-0 prediction miss is
+        # reported, never absorbed: the host clears the prediction and the
+        # next round runs the full scan from its last consumed position.
+        carry0 = (
+            (pred0 - cadence).astype(jnp.int32),
+            jnp.ones(windows.shape[0], jnp.bool_),
+        )
+        n_pred = k_frames
 
     ext = batch.preprocess_extend(windows, n_valid, mode, n_sym_frame)
 
@@ -264,15 +281,11 @@ def _multi_decode_core(
         packed = pack({"detected": ok, "start": out["start"], "bits": out["bits"]})
         return (out["start"].astype(jnp.int32), ok), packed
 
-    _, rest = jax.lax.scan(
-        step,
-        (out0["start"].astype(jnp.int32), out0["detected"]),
-        None,
-        length=k_frames - 1,
-    )
-    return jnp.concatenate(
-        [packed0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1
-    )  # [n, K, 5 + n_bytes]
+    _, rest = jax.lax.scan(step, carry0, None, length=n_pred)
+    rest = jnp.moveaxis(rest, 0, 1)
+    if pred0 is None:
+        rest = jnp.concatenate([packed0[:, None], rest], axis=1)
+    return rest  # [n, K, 5 + n_bytes]
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence", "w"))
@@ -289,6 +302,26 @@ def _batch_window_decode_multi_dev(
 ):
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
     return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames, cadence)
+
+
+@partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence", "w"))
+def _batch_window_decode_pred_dev(
+    buf: jnp.ndarray,
+    start_rel: jnp.ndarray,
+    pred0: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    mode: ModemMode,
+    n_sym_frame: int,
+    k_frames: int,
+    cadence: int,
+    w: int,
+):
+    """Scan-free steady-state round: every slot (including slot 0) decodes at
+    a cadence-predicted position (window-relative ``pred0``)."""
+    windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
+    return _multi_decode_core(
+        windows, n_valid, None, mode, n_sym_frame, k_frames, cadence, pred0=pred0
+    )
 
 
 @partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence"))
@@ -321,6 +354,7 @@ class _Stream:
     __slots__ = (
         "ring", "assembler", "stats", "state", "meta_received",
         "scan_pos", "preamble_pos", "expected_frame_end", "defer_total",
+        "pred_start",
     )
 
     def __init__(self, ring_capacity: int, persist_path: str | None, resume: bool):
@@ -336,6 +370,10 @@ class _Stream:
         # waits for samples instead of dropping to the staged machine;
         # re-scan once total_written exceeds this
         self.defer_total = -1
+        # cadence prediction of the NEXT frame's absolute start (-1 unknown):
+        # when every active stream carries one, the round skips even the
+        # slot-0 detection scan (_batch_window_decode_pred_dev)
+        self.pred_start = -1
 
 
 class BatchReceiver:
@@ -417,6 +455,9 @@ class BatchReceiver:
                 s.ring = _DeviceRingView(self.dring, i)
         self.dc_alpha = dc_alpha
         self.dc_states = np.zeros(n_streams, dtype=np.float64)
+        # per-stage wall-clock accounting (dispatch vs blocking fetch vs host
+        # consume) — read via .timer.report() after a run
+        self.timer = StageTimer()
         self._half = p.fft_size // 2
         plen = p.symbol_len
         radius = 3 * p.cp_len
@@ -505,10 +546,18 @@ class BatchReceiver:
             min(w, w_cap),
         )
 
-    def _consume_multi(self, active, bases, lens, packed, est_len: int, cadence: int, w: int) -> bool:
+    def _consume_multi(
+        self, active, bases, lens, packed, est_len: int, cadence: int, w: int,
+        predicted: bool = False,
+    ) -> bool:
         """Route up to K frame slots per stream, in order, stopping at the
         first undetected / deferred / short / failed slot (whose true end
         the host then knows, bounding any device-side advance overshoot).
+
+        ``predicted``: the round was fully cadence-predicted (slot 0 had no
+        detection scan) — a slot-0 miss then says nothing about the window's
+        content, so coverage must NOT advance; the prediction is cleared and
+        the immediate rerun performs the full scan.
 
         Returns whether another round could make progress NOW: a stream
         whose last slot came back undetected (window drained) or deferred
@@ -520,6 +569,7 @@ class BatchReceiver:
             s = self.streams[i]
             base = bases[i]
             s.defer_total = -1
+            s.pred_start = -1
             last_start = -1
 
             def k_next() -> int:
@@ -531,7 +581,7 @@ class BatchReceiver:
             for k in range(packed.shape[1]):
                 det, start_v, by_row = _unpack_round(packed[i : i + 1, k])
                 if not bool(det[0]):
-                    if k == 0:
+                    if k == 0 and not predicted:
                         # full-scan slot found nothing: positions up to the
                         # scan horizon are clean — advance coverage. If the
                         # window ended short of the stream's write head
@@ -554,8 +604,11 @@ class BatchReceiver:
                         # wait until a whole round of frames can exist, not
                         # just this one: steady-state senders emit chunks on
                         # a fixed cadence, so one K-slot dispatch per K
-                        # frames replaces one dispatch per frame
+                        # frames replaces one dispatch per frame. The frame's
+                        # detected start seeds the next round's slot-0
+                        # prediction — the deferred round needs no scan.
                         s.defer_total = est_end - 1 + (k_next() - 1) * cadence
+                        s.pred_start = abs_start
                     else:
                         s.preamble_pos = abs_start
                         s.scan_pos = abs_start + self._half
@@ -586,6 +639,7 @@ class BatchReceiver:
                 # K-round ahead — skipping the detect-then-defer round that
                 # would otherwise cost a full scan + round trip per K
                 next_end = last_start + cadence + est_len
+                s.pred_start = last_start + cadence
                 if next_end <= s.ring.total_written:
                     rerun = True
                 else:
@@ -633,29 +687,60 @@ class BatchReceiver:
                 n_sym_frame, est_len, cadence, k, w_multi = multi
                 for i in active:  # re-slice with the K-frame window
                     fill(i, self.streams[i], w_multi)
-                packed = np.asarray(
-                    _batch_window_decode_multi_dev(
-                        self.dring.buf,
-                        jnp.asarray(start_rel),
-                        jnp.asarray(min_rel),
-                        jnp.asarray(lens),
-                        self.mode,
-                        n_sym_frame,
-                        k,
-                        cadence,
-                        w_multi,
+                # scan-free round: every active stream predicts its next
+                # frame's start (cadence bookkeeping from the previous
+                # round) and all K frames fit the window
+                pred_rel = np.zeros(self.n, np.int32)
+                predicted = True
+                for i in active:
+                    pr = self.streams[i].pred_start - bases[i]
+                    if pr < 0 or pr + (k - 1) * cadence + est_len > int(lens[i]):
+                        predicted = False
+                        break
+                    pred_rel[i] = pr
+                stage = "pred" if predicted else "multi"
+                with self.timer.stage(f"{stage}_dispatch", k * cadence * len(active)):
+                    if predicted:
+                        dev = _batch_window_decode_pred_dev(
+                            self.dring.buf,
+                            jnp.asarray(start_rel),
+                            jnp.asarray(pred_rel),
+                            jnp.asarray(lens),
+                            self.mode,
+                            n_sym_frame,
+                            k,
+                            cadence,
+                            w_multi,
+                        )
+                    else:
+                        dev = _batch_window_decode_multi_dev(
+                            self.dring.buf,
+                            jnp.asarray(start_rel),
+                            jnp.asarray(min_rel),
+                            jnp.asarray(lens),
+                            self.mode,
+                            n_sym_frame,
+                            k,
+                            cadence,
+                            w_multi,
+                        )
+                with self.timer.stage(f"{stage}_fetch"):
+                    packed = np.asarray(dev)
+                with self.timer.stage("multi_consume"):
+                    return self._consume_multi(
+                        active, bases, lens, packed, est_len, cadence, w_multi,
+                        predicted=predicted,
                     )
+            with self.timer.stage("single_dispatch", int(lens.sum())):
+                out = _batch_window_decode_dev(
+                    self.dring.buf,
+                    jnp.asarray(start_rel),
+                    jnp.asarray(min_rel),
+                    jnp.asarray(lens),
+                    self.mode,
+                    self._win_max_syms,
+                    w,
                 )
-                return self._consume_multi(active, bases, lens, packed, est_len, cadence, w_multi)
-            out = _batch_window_decode_dev(
-                self.dring.buf,
-                jnp.asarray(start_rel),
-                jnp.asarray(min_rel),
-                jnp.asarray(lens),
-                self.mode,
-                self._win_max_syms,
-                w,
-            )
         else:
             windows = np.zeros((self.n, w), np.float32)
             for i, s in enumerate(self.streams):
@@ -698,7 +783,8 @@ class BatchReceiver:
             out = _batch_window_decode(
                 jnp.asarray(windows), jnp.asarray(lens), self.mode, self._win_max_syms
             )
-        detected, starts, by_rows = _unpack_round(np.asarray(out))
+        with self.timer.stage("single_fetch"):
+            detected, starts, by_rows = _unpack_round(np.asarray(out))
         progressed = False
         for i in active:
             s = self.streams[i]
@@ -1002,6 +1088,9 @@ class BatchReceiver:
         s.preamble_pos = -1
         s.expected_frame_end = -1
         s.state = RecvState.IDLE
+        # any route invalidates a cadence prediction; _consume_multi re-seeds
+        # its own predictions after routing a full round
+        s.pred_start = -1
 
     # ---- results ----
 

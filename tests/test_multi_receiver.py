@@ -291,3 +291,52 @@ class TestBatchReceiverScale:
         for i, r in enumerate(rx.results()):
             assert r["complete"], (i, r["missing"], r["stats"])
             assert r["data"] == files[i % 4]
+
+    def test_scan_free_predicted_rounds(self):
+        """Steady-state device-ingest rounds skip even the slot-0 detection
+        scan: after the first scan-ful round seeds the cadence prediction,
+        every subsequent K-frame round is pure refine+demod
+        (_batch_window_decode_pred_dev). Asserts the pred rounds actually
+        fired (timer stages), that they carried most of the data, and that
+        the files are bit-exact."""
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(103)
+        files = [rng.bytes(mode.chunk_size * 16) for _ in range(2)]
+        signals = [
+            np.concatenate(list(api.encode_chunked(f, mode, f"p{i}.bin", batch=16)))
+            for i, f in enumerate(files)
+        ]
+        rx = BatchReceiver(
+            mode, 2, scan_bucket=65536, device_ingest=True, frames_per_round=4
+        )
+        _feed_batch(rx, signals, block=32768)
+        for i, (f, r) in enumerate(zip(files, rx.results())):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
+        rep = rx.timer.report()
+        assert rep.get("pred_dispatch", {}).get("samples", 0) > 0, rep
+        # steady state dominates a 16-chunk transfer: most K-rounds predicted
+        assert rep["pred_dispatch"]["samples"] >= rep.get("multi_dispatch", {}).get(
+            "samples", 0
+        ), rep
+
+    def test_predicted_round_survives_sender_pause(self):
+        """A silence gap mid-transfer breaks the cadence: the predicted
+        slot-0 must MISS (not absorb), the receiver falls back to a full
+        scan from its last consumed position, and every chunk still
+        arrives."""
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(107)
+        f = rng.bytes(mode.chunk_size * 10)
+        frames = list(api.encode_chunked(f, mode, "g.bin", batch=16))
+        # ~1.4 s of dead air between data frames 5 and 6 (frame boundaries,
+        # so every frame stays intact — only the CADENCE breaks)
+        gap = np.zeros(60_000, np.float32)
+        sig2 = np.concatenate(frames[:6] + [gap] + frames[6:])
+        rx = BatchReceiver(
+            mode, 2, scan_bucket=65536, device_ingest=True, frames_per_round=4
+        )
+        _feed_batch(rx, [sig2, sig2], block=32768)
+        for i, r in enumerate(rx.results()):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
