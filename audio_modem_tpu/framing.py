@@ -297,6 +297,11 @@ def synthesize_frame(payload: bytes, mode: ModemMode, silence_pre: int, silence_
     return np.asarray(_synth_frame(jnp.asarray(bits), mode, silence_pre, silence_post))
 
 
+# HBM working-set cap for one synthesis step: 2048 QPSK chunk frames fit
+# (measured); 4096 OOM a 16 GB chip. Larger batches lax.map over groups.
+_SYNTH_GROUP = 2048
+
+
 @partial(jax.jit, static_argnames=("mode", "n_sym", "silence_pre", "silence_post"))
 def _synth_frames_core(
     payloads_u8: jnp.ndarray, mode: ModemMode, n_sym: int, silence_pre: int, silence_post: int
@@ -315,6 +320,31 @@ def _synth_frames_core(
     Silence is synthesized as zero padding (modem.js:529-541); each frame is
     normalized independently, matching buildChunkOFDMFrame's per-frame norm.
     """
+    p = mode.profile
+    sym = p.symbol_len
+    b, n_bytes = payloads_u8.shape
+    if b > _SYNTH_GROUP:
+        # Very large launches OOM HBM (the whole batch's mapped points +
+        # contraction output + assembled frames are live at once: observed
+        # 17.6 GB at B=4096 QPSK vs the 16 GB device). Run the SAME body
+        # sequentially over _SYNTH_GROUP-frame groups with lax.map — one
+        # compile, bounded working set, MXU still saturated at 2048 frames
+        # per step. B <= _SYNTH_GROUP traces exactly as before (cache-stable).
+        if b % _SYNTH_GROUP:
+            pad = _SYNTH_GROUP - b % _SYNTH_GROUP
+            payloads_u8 = jnp.pad(payloads_u8, ((0, pad), (0, 0)))
+        grouped = payloads_u8.reshape(-1, _SYNTH_GROUP, n_bytes)
+        out = jax.lax.map(
+            lambda g: _synth_frames_body(g, mode, n_sym, silence_pre, silence_post),
+            grouped,
+        )
+        return out.reshape(-1, out.shape[-1])[:b]
+    return _synth_frames_body(payloads_u8, mode, n_sym, silence_pre, silence_post)
+
+
+def _synth_frames_body(
+    payloads_u8: jnp.ndarray, mode: ModemMode, n_sym: int, silence_pre: int, silence_post: int
+) -> jnp.ndarray:
     p = mode.profile
     sym = p.symbol_len
     b, n_bytes = payloads_u8.shape

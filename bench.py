@@ -271,67 +271,6 @@ def main() -> None:
             log(f"encode_frames4096 failed ({e}); falling back to 2048")
             details["encode_frames2048_msps"] = _encode_frames(2048, 3, 4)
 
-    # ---- WHOLE streaming runtime at scale: 64 live streams through
-    # BatchReceiver (host FSM + batched scan/refine/demod dispatches),
-    # BASELINE config 5's sustained form ----
-    @stage("batch_receiver", 250.0)
-    def _():
-        from audio_modem_tpu import api
-        from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
-
-        n, block = 64, 65536
-        data = rng.bytes(chunk_size * 16)
-        sig = np.concatenate(list(api.encode_chunked(data, mode, "b.bin", batch=16)))
-        blocks_list = []
-        for off in range(0, len(sig), block):
-            buf = np.zeros((n, block), np.float32)
-            seg = sig[off : off + block]
-            buf[:, : len(seg)] = seg[None, :]
-            blocks_list.append(buf)
-
-        dev_blocks = [jax.device_put(jnp.asarray(b)) for b in blocks_list]
-        for label, kw, feed_blocks in (
-            ("batch_receiver_msps", {}, blocks_list),
-            ("batch_receiver_turbo_msps", {"window_decode": True}, blocks_list),
-            # device-resident ingest: the local-runtime proxy — samples
-            # already in HBM, per-round host traffic is scalars + bytes
-            ("batch_receiver_device_msps", {"device_ingest": True}, dev_blocks),
-        ):
-            def feed_k(rx, bl=feed_blocks):
-                for b in bl:
-                    rx.process_blocks(b)
-                rx.flush()
-
-            warm = BatchReceiver(mode, n, scan_bucket=block, **kw)
-            feed_k(warm)  # compiles every stage executable
-            assert warm.results()[0]["complete"], f"batch_receiver bench decode failed ({label})"
-            dt = 1e9
-            for _ in range(3):
-                rx = BatchReceiver(mode, n, scan_bucket=block, **kw)
-                t0 = time.perf_counter()
-                feed_k(rx)
-                dt = min(dt, time.perf_counter() - t0)
-            msps = n * len(sig) / dt / 1e6
-            details[label] = round(msps, 2)
-        details["batch_receiver_realtime_streams"] = round(
-            details.get("batch_receiver_device_msps", 0.0) * 1e6 / 44100.0, 0
-        )
-        # tunnel ingest bandwidth: the hard cap on any HOST-fed runtime here
-        up = jax.device_put(jnp.asarray(blocks_list[0]))  # warm path
-        t0 = time.perf_counter()
-        for b in blocks_list:
-            up = jax.device_put(jnp.asarray(b))
-        jax.block_until_ready(up)
-        bw = sum(b.size for b in blocks_list) * 4 / (time.perf_counter() - t0) / 1e6
-        details["h2d_bandwidth_mbps"] = round(bw, 1)
-        details["batch_receiver_analysis"] = (
-            "host-fed variants are INGEST-bound: every sample crosses the axon "
-            f"tunnel at ~{bw:.0f} MB/s (= {bw / 4:.0f} Msamples/s hard cap), and the "
-            "staged path re-uploads scan windows on top. The device_ingest variant "
-            "keeps the ring in HBM (one fused dispatch per frame round, scalars up / "
-            "decoded bytes down) — the honest proxy for a non-tunneled deployment."
-        )
-
     # ---- long-frame (past the VMEM gate) kernel-vs-XLA A/B ----
     # ~460k-sample narrowband chunk frames through the gridded streaming
     # demod kernel vs the XLA pipeline, same process, best-of-reps.
@@ -362,6 +301,99 @@ def main() -> None:
                 jax.block_until_ready(o)
                 dt = min(dt, time.perf_counter() - t0)
             details[key] = round(lframes.size * iters / dt / 1e6, 2)
+
+    # ---- WHOLE streaming runtime at scale: 64 live streams through
+    # BatchReceiver (host FSM + batched scan/refine/demod dispatches),
+    # BASELINE config 5's sustained form ----
+    @stage("batch_receiver", 250.0)
+    def _():
+        from audio_modem_tpu import api
+        from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
+
+        n, block = 64, 65536
+        data = rng.bytes(chunk_size * 16)
+        sig = np.concatenate(list(api.encode_chunked(data, mode, "b.bin", batch=16)))
+        blocks_list = []
+        for off in range(0, len(sig), block):
+            buf = np.zeros((n, block), np.float32)
+            seg = sig[off : off + block]
+            buf[:, : len(seg)] = seg[None, :]
+            blocks_list.append(buf)
+
+        # host-fed variants: ingest-bound through the tunnel (that IS the
+        # measurement) — warm + 1 timed rep is representative
+        for label, kw in (
+            ("batch_receiver_msps", {}),
+            ("batch_receiver_turbo_msps", {"window_decode": True}),
+        ):
+            def feed_h(rx):
+                for b in blocks_list:
+                    rx.process_blocks(b)
+                rx.flush()
+
+            warm = BatchReceiver(mode, n, scan_bucket=block, **kw)
+            feed_h(warm)  # compiles every stage executable
+            assert warm.results()[0]["complete"], f"batch_receiver bench decode failed ({label})"
+            rx = BatchReceiver(mode, n, scan_bucket=block, **kw)
+            t0 = time.perf_counter()
+            feed_h(rx)
+            details[label] = round(n * len(sig) / (time.perf_counter() - t0) / 1e6, 2)
+
+        # device-resident ingest at STEADY STATE: 64 chunks/stream so the
+        # scan-free cadence-predicted rounds dominate (a 16-chunk transfer
+        # is mostly startup scans + tail). Blocks are built ON DEVICE as
+        # broadcast slices of the uploaded signal — no tunnel bandwidth in
+        # the loop; the local-runtime proxy.
+        data2 = rng.bytes(chunk_size * 64)
+        sig2 = np.concatenate(list(api.encode_chunked(data2, mode, "b2.bin", batch=16)))
+        n_blocks = -(-len(sig2) // block)
+        sig2_dev = jax.device_put(
+            jnp.asarray(np.pad(sig2, (0, n_blocks * block - len(sig2))))
+        )
+        slice_block = jax.jit(
+            lambda s, o: jnp.broadcast_to(
+                jax.lax.dynamic_slice(s, (o,), (block,))[None, :], (n, block)
+            )
+        )
+        dev_blocks = [slice_block(sig2_dev, jnp.int32(i * block)) for i in range(n_blocks)]
+        jax.block_until_ready(dev_blocks)
+
+        def feed_dev(rx):
+            for b in dev_blocks:
+                rx.process_blocks(b)
+            rx.flush()
+
+        warm = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True)
+        feed_dev(warm)
+        res0 = warm.results()[0]
+        assert res0["complete"] and res0["data"] == data2, "batch_receiver bench decode failed (device)"
+        dt = 1e9
+        for _ in range(3):
+            rx = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True)
+            t0 = time.perf_counter()
+            feed_dev(rx)
+            dt = min(dt, time.perf_counter() - t0)
+        details["batch_receiver_device_msps"] = round(n * len(sig2) / dt / 1e6, 2)
+        details["batch_receiver_realtime_streams"] = round(
+            details["batch_receiver_device_msps"] * 1e6 / 44100.0, 0
+        )
+        details["batch_receiver_stage_breakdown"] = rx.timer.report()
+        # tunnel ingest bandwidth: the hard cap on any HOST-fed runtime here
+        up = jax.device_put(jnp.asarray(blocks_list[0]))  # warm path
+        t0 = time.perf_counter()
+        for b in blocks_list:
+            up = jax.device_put(jnp.asarray(b))
+        jax.block_until_ready(up)
+        bw = sum(b.size for b in blocks_list) * 4 / (time.perf_counter() - t0) / 1e6
+        details["h2d_bandwidth_mbps"] = round(bw, 1)
+        details["batch_receiver_analysis"] = (
+            "host-fed variants are INGEST-bound: every sample crosses the axon "
+            f"tunnel at ~{bw:.0f} MB/s (= {bw / 4:.0f} Msamples/s hard cap), and the "
+            "staged path re-uploads scan windows on top. The device_ingest variant "
+            "keeps the ring in HBM (one fused dispatch per frame round, scalars up / "
+            "decoded bytes down) — the honest proxy for a non-tunneled deployment."
+        )
+
 
     # ---- dispatch-floor measurement + headline analysis ----
     # The 64-stream headline has been flat across rounds while the device

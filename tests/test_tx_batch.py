@@ -39,6 +39,28 @@ def test_synthesize_frames_rejects_mixed_lengths():
         framing.synthesize_frames([b"aa", b"bbb"], mode, 0, 0)
 
 
+def test_grouped_synthesis_identical(monkeypatch):
+    """Batches over _SYNTH_GROUP run the same body under lax.map (HBM
+    working-set cap, framing.py) — the grouped launch must be bit-identical
+    to the single launch, including the padded-group tail."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    mode = MODES["QPSK"]
+    pls = [framing.build_data_chunk_payload(rng.bytes(64), s) for s in range(5)]
+    n_sym = framing.num_symbols_for_payload(len(pls[0]), mode)
+    u8 = jnp.asarray(np.frombuffer(b"".join(pls), np.uint8).reshape(5, -1))
+    ungrouped = np.asarray(framing._synth_frames_core(u8, mode, n_sym, 100, 50))
+    framing._synth_frames_core.clear_cache()
+    monkeypatch.setattr(framing, "_SYNTH_GROUP", 2)  # 5 -> 3 groups of 2
+    try:
+        grouped = np.asarray(framing._synth_frames_core(u8, mode, n_sym, 100, 50))
+    finally:
+        framing._synth_frames_core.clear_cache()  # drop group=2 entry
+    assert grouped.shape == ungrouped.shape
+    np.testing.assert_array_equal(grouped, ungrouped)
+
+
 def test_encode_chunked_batched_equals_serial():
     """encode_chunked(batch=4) yields the same frame sequence as batch=1,
     including the uneven final chunk."""
