@@ -633,17 +633,20 @@ class BatchReceiver:
                     break
                 last_start = abs_start
             else:
-                # every slot routed a full frame. If the NEXT frame (one
-                # cadence on) could already be complete in the ring, another
-                # round can progress now; otherwise self-defer a whole
-                # K-round ahead — skipping the detect-then-defer round that
-                # would otherwise cost a full scan + round trip per K
-                next_end = last_start + cadence + est_len
+                # every slot routed a full frame. Re-run only once the ring
+                # holds the whole NEXT K-round — the same precondition the
+                # scan-free predicted round checks. Re-running as soon as a
+                # single next frame existed (the old threshold) degraded the
+                # steady state to one full-scan round per K-round: the early
+                # round could never be predicted (not all K frames present),
+                # so it paid a window scan AND a tunnel round trip to decode
+                # 1-2 frames, alternating scan/predicted forever.
                 s.pred_start = last_start + cadence
-                if next_end <= s.ring.total_written:
+                next_round_end = s.pred_start + (k_next() - 1) * cadence + est_len
+                if next_round_end <= s.ring.total_written:
                     rerun = True
                 else:
-                    s.defer_total = next_end - 1 + (k_next() - 1) * cadence
+                    s.defer_total = next_round_end - 1
         return rerun
 
     def _window_decode_all(self) -> bool:
