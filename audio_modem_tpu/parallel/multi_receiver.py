@@ -19,6 +19,7 @@ span chips (the per-stage arrays are leading-axis sharded).
 
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
@@ -354,7 +355,7 @@ class _Stream:
     __slots__ = (
         "ring", "assembler", "stats", "state", "meta_received",
         "scan_pos", "preamble_pos", "expected_frame_end", "defer_total",
-        "pred_start",
+        "pred_start", "gen",
     )
 
     def __init__(self, ring_capacity: int, persist_path: str | None, resume: bool):
@@ -374,6 +375,10 @@ class _Stream:
         # when every active stream carries one, the round skips even the
         # slot-0 detection scan (_batch_window_decode_pred_dev)
         self.pred_start = -1
+        # speculation generation: bumped whenever the stream's truth state
+        # deviates from a speculatively dispatched round's assumption, so
+        # in-flight pipelined results for this stream are discarded on fetch
+        self.gen = 0
 
 
 class BatchReceiver:
@@ -391,6 +396,7 @@ class BatchReceiver:
         window_decode: bool = False,
         device_ingest: bool = False,
         frames_per_round: int = 8,
+        pipeline_depth: int = 8,
         mesh=None,
     ):
         self.mode = mode
@@ -419,6 +425,19 @@ class BatchReceiver:
         # blocking result fetch costs a full tunnel round trip, so K frames
         # per round divides the dominant fixed cost by K)
         self.frames_per_round = max(int(frames_per_round), 1)
+        # Speculative fetch pipeline (device-ingest steady state): a fully
+        # cadence-predicted round's SCHEDULING needs no decode results — the
+        # next round's slot-0 position is pred_start + K*cadence either way.
+        # So predicted rounds are dispatched with an async D2H copy and
+        # queued; the blocking fetch happens up to pipeline_depth rounds
+        # later, by which point the ~28 ms tunnel round trip has completed
+        # in the background and np.asarray reads the host-side copy for
+        # free. Consumption validates each round against its speculated
+        # positions and rolls the stream back (per-stream generation
+        # counter) on any deviation, so prediction misses still never lose
+        # a frame. 0 disables (every round fetches synchronously).
+        self.pipeline_depth = max(int(pipeline_depth), 0)
+        self._pending: "deque" = deque()
         # Turbo path: instead of staged scan -> refine -> demod dispatches
         # (3+ per frame), run the FULL fused pipeline over each scanning
         # stream's window — one dispatch yields detection, refined start,
@@ -441,6 +460,17 @@ class BatchReceiver:
         max_frame = framing.estimate_frame_samples(max_payload, mode)
         # the ring must hold a whole K-frame turbo round plus scan margin
         cap = max_frame * max(3, self.frames_per_round + 1) + max(8192, self.scan_bucket)
+        self._max_frame = max_frame
+        if device_ingest and self.pipeline_depth > 0:
+            # rollback safety: a deviation is discovered only when its
+            # speculative round is consumed, up to pipeline_depth K-rounds
+            # after dispatch — the staged retry ladder then re-reads that
+            # frame's samples from the ring, so the ring must keep the
+            # whole in-flight span resident (process_blocks additionally
+            # force-drains the oldest round whenever its window base nears
+            # eviction, so ANY capacity stays correct; this sizing just
+            # lets the pipeline actually reach its configured depth)
+            cap += self.pipeline_depth * self.frames_per_round * max_frame
         self.streams = [
             _Stream(
                 cap if not self.device_ingest else 0,
@@ -464,6 +494,9 @@ class BatchReceiver:
         self._region_len = 2 * radius + plen
         self._refine_pad = self._region_len + plen
         self._win_max_syms = max((self.scan_bucket - 3 * plen) // plen, 1)
+        # window margin kept ahead of a predicted slot-0 (refinement radius
+        # + symbol context); must stay below _multi_params' window margin
+        self._pred_pad = 4 * plen + 1024
 
     # ---- ingest ----
 
@@ -481,6 +514,12 @@ class BatchReceiver:
             )
             for s, row in zip(self.streams, cleaned):
                 s.ring.write(row)
+        if self._pending:
+            # rollback safety: settle any in-flight speculative round whose
+            # window base is close to shifting out of the device ring —
+            # after that, a late-discovered deviation could no longer
+            # re-read its frame for the staged retry ladder
+            self._drain_pending()
         # iterate state steps until no stream progresses (frames can
         # complete several states within one block)
         for _ in range(8):
@@ -548,7 +587,7 @@ class BatchReceiver:
 
     def _consume_multi(
         self, active, bases, lens, packed, est_len: int, cadence: int, w: int,
-        predicted: bool = False,
+        predicted: bool = False, spec_gens: "dict[int, int] | None" = None,
     ) -> bool:
         """Route up to K frame slots per stream, in order, stopping at the
         first undetected / deferred / short / failed slot (whose true end
@@ -563,13 +602,28 @@ class BatchReceiver:
         whose last slot came back undetected (window drained) or deferred
         (waiting for samples) contributes nothing until more samples arrive,
         so a round of all-drained streams returns False — otherwise every
-        ingest block paid one or two extra ~28 ms no-op round trips."""
+        ingest block paid one or two extra ~28 ms no-op round trips.
+
+        ``spec_gens``: the round was dispatched SPECULATIVELY (fetch
+        pipeline): per-stream generation counters captured at dispatch.
+        Streams whose gen moved since (an earlier round deviated and rolled
+        them back) are skipped — their results describe positions the truth
+        state abandoned. On full success the stream's speculated cursors
+        (pred_start/defer_total, already advanced past LATER in-flight
+        rounds at dispatch time) are preserved; on any deviation the gen is
+        bumped (discarding the stream's later in-flight rounds) and the
+        truth-state updates below apply as usual."""
         rerun = False
+        spec = spec_gens is not None
         for i in active:
             s = self.streams[i]
+            if spec and spec_gens[i] != s.gen:
+                continue
             base = bases[i]
-            s.defer_total = -1
-            s.pred_start = -1
+            if not spec:
+                s.defer_total = -1
+                s.pred_start = -1
+            saved_pred, saved_defer = s.pred_start, s.defer_total
             last_start = -1
 
             def k_next() -> int:
@@ -596,10 +650,16 @@ class BatchReceiver:
                         # other positions — rescan (full) from the last
                         # consumed position next round
                         rerun = True
+                        if spec:
+                            s.gen += 1
+                            s.pred_start = -1
+                            s.defer_total = -1
                     break
                 abs_start = base + int(start_v[0])
                 est_end = abs_start + est_len
                 if est_end > base + int(lens[i]):
+                    if spec:  # later in-flight rounds assumed this one fit
+                        s.gen += 1
                     if est_len <= w:
                         # wait until a whole round of frames can exist, not
                         # just this one: steady-state senders emit chunks on
@@ -621,6 +681,10 @@ class BatchReceiver:
                 if decoder._parse_failed(result):
                     s.state = RecvState.COLLECTING_FRAME  # staged retry ladder
                     rerun = True
+                    if spec:
+                        s.gen += 1
+                        s.pred_start = -1
+                        s.defer_total = -1
                     break
                 full = (
                     isinstance(result, framing.DataFrame)
@@ -630,9 +694,20 @@ class BatchReceiver:
                 self._route_result(s, result)
                 if not full:
                     rerun = True  # short/other frame: rescan from its true end
+                    if spec:
+                        s.gen += 1
+                        s.defer_total = -1  # pred cleared by _reset already
                     break
                 last_start = abs_start
             else:
+                if spec:
+                    # every slot routed exactly as speculated: the cursors
+                    # advanced at dispatch time (past LATER in-flight
+                    # rounds) are the live truth — restore them over the
+                    # clears _route_result's _reset performed
+                    s.pred_start = saved_pred
+                    s.defer_total = saved_defer
+                    continue
                 # every slot routed a full frame. Re-run only once the ring
                 # holds the whole NEXT K-round — the same precondition the
                 # scan-free predicted round checks. Re-running as soon as a
@@ -648,6 +723,33 @@ class BatchReceiver:
                 else:
                     s.defer_total = next_round_end - 1
         return rerun
+
+    def _drain_pending(self, drain_all: bool = False) -> None:
+        """Fetch + consume queued speculative rounds, oldest first: down to
+        pipeline_depth normally, entirely when ``drain_all`` (end of input,
+        or a non-predicted dispatch is about to touch truth state). By pop
+        time the round's async D2H copy has long finished in the
+        background, so the np.asarray is a host-memory read, not a ~28 ms
+        tunnel round trip."""
+        while self._pending and (
+            drain_all
+            or len(self._pending) > self.pipeline_depth
+            or (
+                self.device_ingest
+                and self.dring.total_written - self._pending[0][-1]
+                > self.dring.capacity - 2 * self._max_frame
+            )  # oldest round's window nearing ring eviction: settle it now
+        ):
+            dev, active, bases, lens, est_len, cadence, w, gens, _base = (
+                self._pending.popleft()
+            )
+            with self.timer.stage("pipe_fetch"):
+                packed = np.asarray(dev)
+            with self.timer.stage("multi_consume"):
+                self._consume_multi(
+                    active, bases, lens, packed, est_len, cadence, w,
+                    predicted=True, spec_gens=gens,
+                )
 
     def _window_decode_all(self) -> bool:
         p = self.mode.profile
@@ -666,8 +768,15 @@ class BatchReceiver:
             def fill(i: int, s: _Stream, w_eff: int) -> None:
                 # window base: cover scan_pos..total, sliding left so the
                 # slice stays inside the ring; min_pos preserves resume
-                # semantics when the base precedes scan_pos
-                eff = max(min(s.scan_pos, total - w_eff), total - cap)
+                # semantics when the base precedes scan_pos. A live cadence
+                # prediction anchors the window on the PREDICTED span
+                # instead — during pipelined rounds scan_pos (truth,
+                # advanced at consume) lags the dispatch frontier by up to
+                # pipeline_depth K-rounds, far beyond the window width.
+                anchor = s.scan_pos
+                if s.pred_start >= 0:
+                    anchor = max(anchor, s.pred_start - self._pred_pad)
+                eff = max(min(anchor, total - w_eff), total - cap)
                 start_rel[i] = eff - (total - cap)
                 min_rel[i] = max(s.scan_pos - eff, 0)
                 lens[i] = min(total - eff, w_eff)
@@ -701,6 +810,51 @@ class BatchReceiver:
                         predicted = False
                         break
                     pred_rel[i] = pr
+                if self._pending and not predicted:
+                    # speculation survives only unbroken predicted rounds:
+                    # drain before any scanning dispatch so stale in-flight
+                    # results can't interleave with truth-state scans
+                    self._drain_pending(drain_all=True)
+                    return True
+                if predicted and self.pipeline_depth > 0:
+                    # speculative dispatch: enqueue the round with an async
+                    # D2H copy and advance the cursors as if all K slots
+                    # will route (consumption validates, up to
+                    # pipeline_depth rounds later) — the blocking fetch
+                    # leaves the per-round critical path entirely
+                    with self.timer.stage(
+                        "pred_dispatch", k * cadence * len(active)
+                    ):
+                        dev = _batch_window_decode_pred_dev(
+                            self.dring.buf,
+                            jnp.asarray(start_rel),
+                            jnp.asarray(pred_rel),
+                            jnp.asarray(lens),
+                            self.mode,
+                            n_sym_frame,
+                            k,
+                            cadence,
+                            w_multi,
+                        )
+                    dev.copy_to_host_async()
+                    self._pending.append((
+                        dev,
+                        list(active),
+                        dict(bases),
+                        lens.copy(),
+                        est_len,
+                        cadence,
+                        w_multi,
+                        {i: self.streams[i].gen for i in active},
+                        min(bases[i] for i in active),
+                    ))
+                    for i in active:
+                        s = self.streams[i]
+                        s.pred_start += k * cadence
+                        nre = s.pred_start + (k - 1) * cadence + est_len
+                        s.defer_total = -1 if nre <= total else nre - 1
+                    self._drain_pending()
+                    return True
                 stage = "pred" if predicted else "multi"
                 with self.timer.stage(f"{stage}_dispatch", k * cadence * len(active)):
                     if predicted:
@@ -734,6 +888,9 @@ class BatchReceiver:
                         active, bases, lens, packed, est_len, cadence, w_multi,
                         predicted=predicted,
                     )
+            if self._pending:
+                self._drain_pending(drain_all=True)
+                return True
             with self.timer.stage("single_dispatch", int(lens.sum())):
                 out = _batch_window_decode_dev(
                     self.dring.buf,
@@ -1108,6 +1265,22 @@ class BatchReceiver:
         Frame expectations are truncated to the samples actually available
         (the batch analog of partial_ok)."""
         p = self.mode.profile
+        # settle the speculative fetch pipeline first: truth state (scan
+        # positions, assembler contents) must be current before tail logic
+        self._drain_pending(drain_all=True)
+        if self.window_decode:
+            # a drain-time rollback discards every later in-flight round for
+            # that stream — up to pipeline_depth K-rounds of full frames can
+            # sit between the truth scan position and the write head. Re-run
+            # the TURBO machine (window rounds, not the staged scanner) until
+            # quiescent so they are re-decoded at full width, draining any
+            # speculative rounds it dispatches along the way.
+            for _ in range(8 * max(self.pipeline_depth, 1)):
+                if self._step_all():
+                    continue
+                if not self._pending:
+                    break
+                self._drain_pending(drain_all=True)  # may roll back → retry
         # drain via the STAGED machine first: the turbo path skips windows
         # too short to host a whole frame, so a tail frame can still be
         # sitting undetected in the ring at end of input

@@ -76,6 +76,63 @@ class TestPayloadEdges:
         assert res.complete and res.data == data
 
 
+class TestFalsePeakResume:
+    def test_decoy_periodic_segment_before_frame(self):
+        """A lag-periodic decoy ahead of the real frame must not kill the
+        decode: the coarse Schmidl-Cox scan first-peak-commits on the decoy
+        (its lag-fft/2 autocorrelation is ~1.0), the xcorr refinement
+        rejects it (< XCORR_THRESHOLD against the true preamble waveform),
+        and _decode_signal_once resumes the scan past it via min_pos —
+        the one-shot analog of the streaming receiver's IDLE resume
+        (app.js:879-884). Covers the min_pos > 0 dispatch path end-to-end.
+        """
+        from audio_modem_tpu import decoder
+
+        mode = MODES["QPSK"]
+        p = mode.profile
+        rng = np.random.default_rng(11)
+        data = rng.bytes(400)
+        sig = api.encode_legacy(data, mode, "d.bin")
+
+        # decoy: a pure tone at INACTIVE even bin 4 (active bins start at
+        # 12) — perfectly lag-fft/2 periodic, so the Schmidl-Cox metric is
+        # ~1.0, yet near-orthogonal to the wideband preamble template, so
+        # the normalized xcorr stays far below XCORR_THRESHOLD. (A noise
+        # decoy doesn't work: max-over-241-offsets of normalized xcorr
+        # against a 576-sample template is ~2.8/sqrt(576) ~ 0.12-0.17,
+        # above the reference's deliberately loose 0.1 threshold.)
+        t = np.arange(2 * p.fft_size)
+        decoy = (0.4 * np.sin(2 * np.pi * 4 * t / p.fft_size)).astype(np.float32)
+        gap = np.zeros(2 * p.fft_size, np.float32)
+        composite = np.concatenate([decoy, gap, sig]).astype(np.float32)
+
+        # prove the decoy is a real trap: with min_pos=0 the coarse scan
+        # first-peak-commits INSIDE the decoy, and refinement rejects it
+        import jax.numpy as jnp
+
+        from audio_modem_tpu import sync
+
+        pre = sync.preprocess(jnp.asarray(composite), len(composite))
+        c_idx, c_metric = sync.detect_preamble(pre, p, len(composite))
+        assert 0 <= int(c_idx) <= len(decoy) - p.fft_size, int(c_idx)
+        assert float(c_metric) > sync.AUTOCORR_THRESHOLD
+        pad = jnp.concatenate([pre, jnp.zeros(4 * p.symbol_len, jnp.float32)])
+        _, r_metric = sync.refine_xcorr(pad, c_idx, p, len(composite))
+        assert float(r_metric) < sync.XCORR_THRESHOLD, float(r_metric)
+
+        # the raw decoder must succeed purely via the min_pos resume loop
+        # (decode_raw has no xcorr re-acquisition fallback behind it)
+        raw, info = decoder.decode_raw(composite, mode)
+        assert isinstance(raw, bytes), raw
+        assert info is not None and info.preamble_idx >= len(decoy)
+        assert info.fine_metric >= sync.XCORR_THRESHOLD
+
+        # and the public path agrees
+        full, _ = api.decode(composite, mode)
+        assert isinstance(full, framing.LegacyFrame) and full.crc_valid
+        assert full.data == data
+
+
 @pytest.mark.parametrize("mode_name", ["16-QAM", "BPSK-REPEAT", "64-QAM"])
 class TestAllModesChunked:
     def test_small_chunked_transfer(self, mode_name):

@@ -340,3 +340,74 @@ class TestBatchReceiverScale:
         for i, r in enumerate(rx.results()):
             assert r["complete"], (i, r["missing"], r["stats"])
             assert r["data"] == f
+
+
+class TestSpeculativePipeline:
+    """The speculative fetch pipeline: cadence-predicted rounds dispatch
+    with an async D2H copy and are consumed up to pipeline_depth rounds
+    later (the blocking tunnel round trip leaves the per-round critical
+    path); consumption validates against the speculated positions and
+    rolls the stream back on any deviation."""
+
+    def _transfer(self, n_chunks: int, pipeline_depth: int, seed: int = 211):
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(seed)
+        f = rng.bytes(mode.chunk_size * n_chunks)
+        sig = np.concatenate(list(api.encode_chunked(f, mode, "s.bin", batch=16)))
+        rx = BatchReceiver(
+            mode,
+            2,
+            scan_bucket=65536,
+            device_ingest=True,
+            frames_per_round=4,
+            pipeline_depth=pipeline_depth,
+        )
+        _feed_batch(rx, [sig, sig], block=32768)
+        return f, rx
+
+    def test_pipelined_steady_state(self):
+        """Long transfer with a deep pipeline: pipe_fetch rounds actually
+        fire, predicted rounds dominate, and every byte arrives."""
+        f, rx = self._transfer(32, pipeline_depth=4)
+        for i, r in enumerate(rx.results()):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
+        rep = rx.timer.report()
+        assert rep.get("pipe_fetch", {}).get("count", 1) or True
+        assert "pipe_fetch" in rep, rep  # speculative consumes happened
+        assert rep["pred_dispatch"]["samples"] >= rep.get("multi_dispatch", {}).get(
+            "samples", 0
+        ), rep
+
+    def test_depth_zero_disables(self):
+        """pipeline_depth=0 keeps every fetch synchronous (no pipe_fetch
+        stage) and decodes identically."""
+        f, rx = self._transfer(12, pipeline_depth=0)
+        for r in rx.results():
+            assert r["complete"] and r["data"] == f
+        assert "pipe_fetch" not in rx.timer.report()
+
+    def test_rollback_on_cadence_break(self):
+        """A mid-transfer silence gap deviates from the speculated cadence
+        while several rounds are in flight: the stream must roll back
+        (stale in-flight results discarded via the generation counter),
+        rescan from truth, and still deliver every chunk."""
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(223)
+        f = rng.bytes(mode.chunk_size * 20)
+        frames = list(api.encode_chunked(f, mode, "g.bin", batch=24))
+        gap = np.zeros(60_000, np.float32)
+        sig = np.concatenate(frames[:8] + [gap] + frames[8:])
+        rx = BatchReceiver(
+            mode,
+            2,
+            scan_bucket=65536,
+            device_ingest=True,
+            frames_per_round=4,
+            pipeline_depth=6,
+        )
+        _feed_batch(rx, [sig, sig], block=32768)
+        for i, r in enumerate(rx.results()):
+            assert r["complete"], (i, r["missing"], r["stats"])
+            assert r["data"] == f
+        assert any(s.gen > 0 for s in rx.streams), "no speculative rollback occurred"
