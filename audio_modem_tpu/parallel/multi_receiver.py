@@ -355,7 +355,7 @@ class _Stream:
     __slots__ = (
         "ring", "assembler", "stats", "state", "meta_received",
         "scan_pos", "preamble_pos", "expected_frame_end", "defer_total",
-        "pred_start", "gen",
+        "pred_start", "gen", "inflight",
     )
 
     def __init__(self, ring_capacity: int, persist_path: str | None, resume: bool):
@@ -379,6 +379,12 @@ class _Stream:
         # deviates from a speculatively dispatched round's assumption, so
         # in-flight pipelined results for this stream are discarded on fetch
         self.gen = 0
+        # frame slots dispatched speculatively but not yet consumed: the
+        # remaining-chunks clamp must count these, or the final rounds of a
+        # transfer overshoot (assembler counts lag the dispatch frontier by
+        # the whole pipeline), forcing an end-of-input rollback that dumps
+        # a K-round of frames per stream onto the slow staged machine
+        self.inflight = 0
 
 
 class BatchReceiver:
@@ -561,7 +567,13 @@ class BatchReceiver:
                 return None
             css.add(s.assembler.chunk_size)
             remaining = min(
-                remaining, max(s.assembler.total_chunks - s.assembler.received_count, 1)
+                remaining,
+                max(
+                    s.assembler.total_chunks
+                    - s.assembler.received_count
+                    - s.inflight,
+                    1,
+                ),
             )
         if len(css) != 1:
             return None
@@ -619,6 +631,8 @@ class BatchReceiver:
             s = self.streams[i]
             if spec and spec_gens[i] != s.gen:
                 continue
+            if spec:
+                s.inflight = max(s.inflight - packed.shape[1], 0)
             base = bases[i]
             if not spec:
                 s.defer_total = -1
@@ -629,12 +643,20 @@ class BatchReceiver:
             def k_next() -> int:
                 return min(
                     self.frames_per_round,
-                    max(s.assembler.total_chunks - s.assembler.received_count, 1),
+                    max(
+                        s.assembler.total_chunks
+                        - s.assembler.received_count
+                        - s.inflight,
+                        1,
+                    ),
                 )
 
+            # one unpack per stream (not per slot): the K-slot loop then
+            # reads plain scalars — per-slot numpy slicing was a measurable
+            # share of the steady-state consume cost at 64 streams x 8 slots
+            det, start_v, by_row = _unpack_round(packed[i])
             for k in range(packed.shape[1]):
-                det, start_v, by_row = _unpack_round(packed[i : i + 1, k])
-                if not bool(det[0]):
+                if not bool(det[k]):
                     if k == 0 and not predicted:
                         # full-scan slot found nothing: positions up to the
                         # scan horizon are clean — advance coverage. If the
@@ -652,14 +674,16 @@ class BatchReceiver:
                         rerun = True
                         if spec:
                             s.gen += 1
+                            s.inflight = 0
                             s.pred_start = -1
                             s.defer_total = -1
                     break
-                abs_start = base + int(start_v[0])
+                abs_start = base + int(start_v[k])
                 est_end = abs_start + est_len
                 if est_end > base + int(lens[i]):
                     if spec:  # later in-flight rounds assumed this one fit
                         s.gen += 1
+                        s.inflight = 0
                     if est_len <= w:
                         # wait until a whole round of frames can exist, not
                         # just this one: steady-state senders emit chunks on
@@ -675,7 +699,7 @@ class BatchReceiver:
                         s.state = RecvState.PREAMBLE_DETECTED
                         rerun = True
                     break
-                result = framing.parse_payload_bytes(by_row[0].tobytes(), min_len=6)
+                result = framing.parse_payload_bytes(by_row[k].tobytes(), min_len=6)
                 s.preamble_pos = abs_start
                 s.expected_frame_end = est_end
                 if decoder._parse_failed(result):
@@ -683,6 +707,7 @@ class BatchReceiver:
                     rerun = True
                     if spec:
                         s.gen += 1
+                        s.inflight = 0
                         s.pred_start = -1
                         s.defer_total = -1
                     break
@@ -696,6 +721,7 @@ class BatchReceiver:
                     rerun = True  # short/other frame: rescan from its true end
                     if spec:
                         s.gen += 1
+                        s.inflight = 0
                         s.defer_total = -1  # pred cleared by _reset already
                     break
                 last_start = abs_start
@@ -851,6 +877,7 @@ class BatchReceiver:
                     for i in active:
                         s = self.streams[i]
                         s.pred_start += k * cadence
+                        s.inflight += k
                         nre = s.pred_start + (k - 1) * cadence + est_len
                         s.defer_total = -1 if nre <= total else nre - 1
                     self._drain_pending()
@@ -1269,13 +1296,19 @@ class BatchReceiver:
         # positions, assembler contents) must be current before tail logic
         self._drain_pending(drain_all=True)
         if self.window_decode:
-            # a drain-time rollback discards every later in-flight round for
-            # that stream — up to pipeline_depth K-rounds of full frames can
-            # sit between the truth scan position and the write head. Re-run
-            # the TURBO machine (window rounds, not the staged scanner) until
-            # quiescent so they are re-decoded at full width, draining any
-            # speculative rounds it dispatches along the way.
+            # Input has ended: deferrals wait for samples that will never
+            # arrive, and cadence predictions point past the write head
+            # (their windows would anchor beyond the remaining tail). Clear
+            # BOTH every iteration and re-run the TURBO machine — truth-
+            # anchored full-scan window rounds over the undelivered span
+            # (the pipeline leaves up to pipeline_depth K-rounds of frames
+            # between the truth scan position and the write head) — until
+            # quiescent. Leaving this to the staged scanner costs seconds:
+            # its windows re-cross the tunnel per stream per cycle.
             for _ in range(8 * max(self.pipeline_depth, 1)):
+                for s in self.streams:
+                    s.defer_total = -1
+                    s.pred_start = -1
                 if self._step_all():
                     continue
                 if not self._pending:

@@ -339,12 +339,13 @@ def main() -> None:
             feed_h(rx)
             details[label] = round(n * len(sig) / (time.perf_counter() - t0) / 1e6, 2)
 
-        # device-resident ingest at STEADY STATE: 64 chunks/stream so the
-        # scan-free cadence-predicted rounds dominate (a 16-chunk transfer
-        # is mostly startup scans + tail). Blocks are built ON DEVICE as
-        # broadcast slices of the uploaded signal — no tunnel bandwidth in
-        # the loop; the local-runtime proxy.
-        data2 = rng.bytes(chunk_size * 64)
+        # device-resident ingest at STEADY STATE: 128 chunks/stream so the
+        # scan-free cadence-predicted rounds (and the speculative fetch
+        # pipeline riding them) dominate — a short transfer is mostly
+        # startup scans + tail. Blocks are built ON DEVICE as broadcast
+        # slices of the uploaded signal — no tunnel bandwidth in the loop;
+        # the local-runtime proxy.
+        data2 = rng.bytes(chunk_size * 128)
         sig2 = np.concatenate(list(api.encode_chunked(data2, mode, "b2.bin", batch=16)))
         n_blocks = -(-len(sig2) // block)
         sig2_dev = jax.device_put(
