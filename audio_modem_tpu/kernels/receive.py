@@ -716,7 +716,14 @@ def _chunk_stream_flat_kernel(
     XLA on long narrowband frames (BENCH r3 A/B: 785 vs 1179 Msps) — XLA
     reads strided operands directly into its fused matmul; now the kernel
     does too. Output rows stay stream-major per block; the XLA epilogue
-    transposes them back (HBM reshuffle, negligible vs the demod)."""
+    transposes them back (HBM reshuffle, negligible vs the demod).
+
+    Measured (v5e, 461k-sample narrowband chunk frames): at batch 8 both
+    paths sit on the ~2.3 ms tunnel dispatch floor (kernel 1206 vs XLA
+    1418 Msps — the gap is per-call fixed cost, not device time); at batch
+    64 the kernel wins 1.4x (7323 vs 5256 Msps), i.e. ~2x less device time
+    per sample. Acoustic frames at batch 64 are still dispatch-bound
+    (4041 vs 4367 Msps, both ~2.5 ms/call)."""
     profile = mode.profile
     g = _geometry(profile)
     sym = profile.symbol_len

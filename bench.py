@@ -191,6 +191,67 @@ def main() -> None:
         details["batch4096_full_pipeline_msps"] = round(msps_4k, 2)
         details["batch4096_realtime_streams"] = round(msps_4k * 1e6 / 44100.0, 0)
 
+    # ---- dispatch-floor measurement + headline analysis ----
+    # The 64-stream headline has been flat across rounds while the device
+    # ceiling tripled (517 -> 506 -> ... vs 3.0 -> 6.0 Gsps at 512/4096
+    # batch): the per-call floor through the axon tunnel relay bounds it.
+    # Measure that floor directly with a trivial jitted op at the same
+    # pipeline depth, and record what the headline WOULD be at zero
+    # dispatch cost (the device-only number, from the 4096-batch stage).
+    @stage("dispatch_floor", 60.0)
+    def _():
+        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
+        f = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(f(tiny))
+        _ = np.asarray(f(tiny))
+        dt = 1e9
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = tiny
+            for _ in range(iters):
+                o = f(o)
+            jax.block_until_ready(o)
+            dt = min(dt, time.perf_counter() - t0)
+        floor_ms = dt / iters * 1e3
+        details["dispatch_floor_ms"] = round(floor_ms, 3)
+        # local-dispatch proxy: ENQUEUE cost of an already-compiled call
+        # (host-side work only — what a non-tunneled runtime would pay per
+        # dispatch; the relay's round trip is what inflates the floor above)
+        t0 = time.perf_counter()
+        outs = [f(tiny) for _ in range(100)]
+        enq_ms = (time.perf_counter() - t0) / 100 * 1e3
+        jax.block_until_ready(outs)
+        details["local_dispatch_proxy_ms"] = round(enq_ms, 4)
+        block_samples = int(n_valid.sum())
+        details["headline_dispatch_bound_msps"] = round(block_samples / (floor_ms * 1e-3) / 1e6, 1)
+        details["headline_analysis"] = (
+            "64-stream headline is dispatch-bound: one pipelined jit call costs "
+            f"~{floor_ms:.2f} ms through the axon tunnel relay regardless of work, "
+            f"capping a {block_samples}-sample block at "
+            f"~{block_samples / (floor_ms * 1e-3) / 1e6:.0f} Msps even at zero device time; "
+            "the device-bound ceiling is the batch4096 stage. A local (non-tunneled) "
+            "runtime dispatches in O(10us) and would sit at the device ceiling."
+        )
+
+    # ---- detect-only p50 latency (one stream window) ----
+    # Pipelined per-call time at depth 10: a single blocking call through the
+    # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
+    # not; pipelining amortizes it and reflects the device-side cost.
+    @stage("detect_latency", 90.0)
+    def _():
+        from audio_modem_tpu import sync
+
+        one = jax.jit(lambda s, nv: sync.detect_preamble(s, p, nv))
+        s1, nv1 = sig_dev[0], nv_dev[0]
+        jax.block_until_ready(one(s1, nv1))
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs = [one(s1, nv1) for _ in range(10)]
+            jax.block_until_ready(outs)
+            lats.append((time.perf_counter() - t0) / 10)
+        details["p50_detect_latency_ms"] = round(float(np.median(lats) * 1e3), 3)
+
     # ---- frame-aligned demod only (post-sync path) ----
     @stage("frame_demod", 120.0)
     def _():
@@ -218,12 +279,16 @@ def main() -> None:
         bits_batch = jax.device_put(jnp.asarray(np.tile(bits_one, (n_streams, 1))))
         enc = jax.jit(lambda b: phy.modulate(b, mode))
         jax.block_until_ready(enc(bits_batch))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            enc_out = enc(bits_batch)
-        jax.block_until_ready(enc_out)
+        _ = np.asarray(enc(bits_batch)[0, :8])  # first D2H before timing
+        dt = 1e9
+        for _ in range(5):  # best-of: tunnel RTT jitter dominates at this size
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                enc_out = enc(bits_batch)
+            jax.block_until_ready(enc_out)
+            dt = min(dt, time.perf_counter() - t0)
         details["encode_modulate_msps"] = round(
-            n_streams * n_payload_sym * sym * iters / (time.perf_counter() - t0) / 1e6, 2
+            n_streams * n_payload_sym * sym * iters / dt / 1e6, 2
         )
 
     # ---- FULL frame synthesis (bytes -> frames, the TX peer of the RX
@@ -274,10 +339,16 @@ def main() -> None:
     # ---- long-frame (past the VMEM gate) kernel-vs-XLA A/B ----
     # ~460k-sample narrowband chunk frames through the gridded streaming
     # demod kernel vs the XLA pipeline, same process, best-of-reps.
+    # Batch 64 (device-tiled from an 8-frame upload): at batch 8 one call is
+    # only ~3.7 Msamples, so both variants sit on the ~2-3 ms tunnel
+    # dispatch floor and the A/B measures the relay, not the device.
     @stage("long_frame", 280.0)
     def _():
         from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
-        from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
+        from audio_modem_tpu.parallel.batch import (
+            _batch_decode_chunk_frames_xla,
+            batch_decode_chunk_frames,
+        )
 
         narrow = MODES["BPSK-NARROW"]
         np_prof = narrow.profile
@@ -286,13 +357,19 @@ def main() -> None:
         one = one[np_prof.silence_pre_chunk(False) :][: (3 + nsym_l) * np_prof.symbol_len]
         lframes = np.tile(one, (8, 1))
         lframes += 0.02 * rng.standard_normal(lframes.shape).astype(np.float32)
-        ldev = jax.device_put(jnp.asarray(lframes))
+        ldev = jax.block_until_ready(jnp.tile(jax.device_put(jnp.asarray(lframes)), (8, 1)))
+        lsize = ldev.size
+        # product-path entry (kernel-vs-XLA dispatch happens at trace time);
+        # jit hoisted OUT of the timed lambda — a fresh jax.jit wrapper per
+        # call would retrace every iteration and measure tracing, not decode
+        prod = jax.jit(lambda f: batch_decode_chunk_frames(f, narrow, nsym_l))
         for key, fn in (
             ("long_frame_kernel_msps", lambda: decode_chunks_fused_stream(ldev, narrow, nsym_l)),
             ("long_frame_xla_msps", lambda: _batch_decode_chunk_frames_xla(ldev, narrow, nsym_l)),
+            ("long_frame_dispatch_msps", lambda: prod(ldev)),
         ):
             jax.block_until_ready(fn())
-            _ = np.asarray(fn())
+            _ = np.asarray(fn())[:2, :8]
             dt = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -300,7 +377,7 @@ def main() -> None:
                     o = fn()
                 jax.block_until_ready(o)
                 dt = min(dt, time.perf_counter() - t0)
-            details[key] = round(lframes.size * iters / dt / 1e6, 2)
+            details[key] = round(lsize * iters / dt / 1e6, 2)
 
     # ---- WHOLE streaming runtime at scale: 64 live streams through
     # BatchReceiver (host FSM + batched scan/refine/demod dispatches),
@@ -311,8 +388,11 @@ def main() -> None:
         from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
 
         n, block = 64, 65536
-        data = rng.bytes(chunk_size * 16)
-        sig = np.concatenate(list(api.encode_chunked(data, mode, "b.bin", batch=16)))
+        # host-fed variants are INGEST-bound through the ~4 MB/s axon tunnel
+        # (r3 run: 16 chunks/stream spent ~21 min here and starved every
+        # later stage) — 4 chunks/stream measures the same bound 4x cheaper
+        data = rng.bytes(chunk_size * 4)
+        sig = np.concatenate(list(api.encode_chunked(data, mode, "b.bin", batch=4)))
         blocks_list = []
         for off in range(0, len(sig), block):
             buf = np.zeros((n, block), np.float32)
@@ -320,8 +400,7 @@ def main() -> None:
             buf[:, : len(seg)] = seg[None, :]
             blocks_list.append(buf)
 
-        # host-fed variants: ingest-bound through the tunnel (that IS the
-        # measurement) — warm + 1 timed rep is representative
+        # warm + 1 timed rep is representative (the tunnel is the bound)
         for label, kw in (
             ("batch_receiver_msps", {}),
             ("batch_receiver_turbo_msps", {"window_decode": True}),
@@ -395,67 +474,6 @@ def main() -> None:
             "decoded bytes down) — the honest proxy for a non-tunneled deployment."
         )
 
-
-    # ---- dispatch-floor measurement + headline analysis ----
-    # The 64-stream headline has been flat across rounds while the device
-    # ceiling tripled (517 -> 506 -> ... vs 3.0 -> 6.0 Gsps at 512/4096
-    # batch): the per-call floor through the axon tunnel relay bounds it.
-    # Measure that floor directly with a trivial jitted op at the same
-    # pipeline depth, and record what the headline WOULD be at zero
-    # dispatch cost (the device-only number, from the 4096-batch stage).
-    @stage("dispatch_floor", 60.0)
-    def _():
-        tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
-        f = jax.jit(lambda x: x + 1.0)
-        jax.block_until_ready(f(tiny))
-        _ = np.asarray(f(tiny))
-        dt = 1e9
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = tiny
-            for _ in range(iters):
-                o = f(o)
-            jax.block_until_ready(o)
-            dt = min(dt, time.perf_counter() - t0)
-        floor_ms = dt / iters * 1e3
-        details["dispatch_floor_ms"] = round(floor_ms, 3)
-        # local-dispatch proxy: ENQUEUE cost of an already-compiled call
-        # (host-side work only — what a non-tunneled runtime would pay per
-        # dispatch; the relay's round trip is what inflates the floor above)
-        t0 = time.perf_counter()
-        outs = [f(tiny) for _ in range(100)]
-        enq_ms = (time.perf_counter() - t0) / 100 * 1e3
-        jax.block_until_ready(outs)
-        details["local_dispatch_proxy_ms"] = round(enq_ms, 4)
-        block_samples = int(n_valid.sum())
-        details["headline_dispatch_bound_msps"] = round(block_samples / (floor_ms * 1e-3) / 1e6, 1)
-        details["headline_analysis"] = (
-            "64-stream headline is dispatch-bound: one pipelined jit call costs "
-            f"~{floor_ms:.2f} ms through the axon tunnel relay regardless of work, "
-            f"capping a {block_samples}-sample block at "
-            f"~{block_samples / (floor_ms * 1e-3) / 1e6:.0f} Msps even at zero device time; "
-            "the device-bound ceiling is the batch4096 stage. A local (non-tunneled) "
-            "runtime dispatches in O(10us) and would sit at the device ceiling."
-        )
-
-    # ---- detect-only p50 latency (one stream window) ----
-    # Pipelined per-call time at depth 10: a single blocking call through the
-    # axon tunnel pays a ~28 ms relay round-trip that a local runtime would
-    # not; pipelining amortizes it and reflects the device-side cost.
-    @stage("detect_latency", 120.0)
-    def _():
-        from audio_modem_tpu import sync
-
-        one = jax.jit(lambda s, nv: sync.detect_preamble(s, p, nv))
-        s1, nv1 = sig_dev[0], nv_dev[0]
-        jax.block_until_ready(one(s1, nv1))
-        lats = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            outs = [one(s1, nv1) for _ in range(10)]
-            jax.block_until_ready(outs)
-            lats.append((time.perf_counter() - t0) / 10)
-        details["p50_detect_latency_ms"] = round(float(np.median(lats) * 1e3), 3)
 
     # ---- per-mode full-pipeline Msps (all profiles x constellations) ----
     # Catches regressions in acoustic/narrowband matmul shapes (CP 128/256)
