@@ -162,6 +162,159 @@ def run_arq_session(
     return report
 
 
+def _synthesize_mixed(
+    items: "list[tuple[bytes, int, int]]", mode: ModemMode
+) -> "list[np.ndarray]":
+    """Batched TX of heterogeneous payloads: [(payload, silence_pre,
+    silence_post)] -> per-item frame signals, preserving order.
+
+    Groups by (payload length, silences) and runs ONE batched device
+    synthesis (framing.synthesize_frames) per group — an ARQ resend round
+    across 64 streams costs a couple of device calls instead of one call
+    per frame."""
+    out: "list[np.ndarray | None]" = [None] * len(items)
+    groups: dict = {}
+    for idx, (pl, pre, post) in enumerate(items):
+        groups.setdefault((len(pl), pre, post), []).append(idx)
+    for (_, pre, post), idxs in groups.items():
+        sigs = framing.synthesize_frames([items[i][0] for i in idxs], mode, pre, post)
+        for row, i in enumerate(idxs):
+            out[i] = np.asarray(sigs[row])
+    return out  # type: ignore[return-value]
+
+
+def run_batch_arq_session(
+    datas: "list[bytes]",
+    mode: ModemMode,
+    file_names: "list[str]",
+    forward: Callable[[int, np.ndarray], np.ndarray],
+    backward: "Callable[[int, np.ndarray], np.ndarray] | None" = None,
+    max_rounds: int = 5,
+    fec: bool = False,
+    block: int = 65536,
+) -> "list[ArqReport]":
+    """Selective-repeat ARQ over the BATCHED runtime: N concurrent transfers
+    through ONE BatchReceiver (the scale path had no retransmission story —
+    lossy channels ended at a missing-chunk report; completes
+    /root/reference/docs/protocol_spec.md:43-63 at scale).
+
+    ``forward(i, sig)`` / ``backward(i, sig)`` are per-stream channels.
+    Each round: every stream's pending frames are synthesized in a couple
+    of batched device calls (_synthesize_mixed), ingested as lockstep
+    [N, block] blocks (completed streams ride along as silence), and each
+    incomplete stream's missing-chunk report crosses the back link as a
+    request frame. Rounds stop at all-ACK or ``max_rounds``.
+    """
+    from audio_modem_tpu.parallel.multi_receiver import BatchReceiver
+
+    backward = backward or (lambda i, s: s)
+    n = len(datas)
+    chunk_size = mode.chunk_size
+    totals = [-(-len(d) // chunk_size) for d in datas]
+    p = mode.profile
+    pre_m, pre_d, post = (
+        p.silence_pre_chunk(True),
+        p.silence_pre_chunk(False),
+        p.silence_post_chunk(),
+    )
+    rx = BatchReceiver(mode, n, fec=fec)
+    sent_per_round: "list[list[int]]" = [[] for _ in range(n)]
+
+    def payload_for(i: int, s: int) -> bytes:
+        body = framing.build_data_chunk_payload(
+            datas[i][s * chunk_size : (s + 1) * chunk_size], s
+        )
+        return framing.wrap_fec(body) if fec else body
+
+    def meta_payload(i: int) -> bytes:
+        body = framing.build_metadata_payload(
+            totals[i], len(datas[i]), chunk_size, file_names[i]
+        )
+        return framing.wrap_fec(body) if fec else body
+
+    def send_round(per_stream: "dict[int, list[tuple[bytes, int]]]") -> None:
+        """per_stream: i -> [(payload, silence_pre)] in send order."""
+        flat: "list[tuple[bytes, int, int]]" = []
+        slots: "list[tuple[int, int]]" = []  # (stream, position)
+        for i, items in per_stream.items():
+            for k, (pl, pre) in enumerate(items):
+                flat.append((pl, pre, post))
+                slots.append((i, k))
+        sigs = _synthesize_mixed(flat, mode)
+        per_sig: "dict[int, list[np.ndarray]]" = {i: [] for i in per_stream}
+        for (i, _), sig in zip(slots, sigs):
+            per_sig[i].append(sig)
+        signals = {i: forward(i, np.concatenate(s)) for i, s in per_sig.items() if s}
+        if not signals:
+            return
+        length = max(len(s) for s in signals.values())
+        for off in range(0, length, block):
+            size = min(block, length - off)
+            buf = np.zeros((n, size), np.float32)
+            for i, s in signals.items():
+                seg = s[off : off + size]
+                buf[i, : len(seg)] = seg
+            rx.process_blocks(buf)
+        rx.flush()
+
+    # round 1: metadata + every chunk, all streams at once
+    send_round(
+        {
+            i: [(meta_payload(i), pre_m)]
+            + [(payload_for(i, s), pre_d) for s in range(totals[i])]
+            for i in range(n)
+        }
+    )
+    for i in range(n):
+        sent_per_round[i].append(totals[i])
+
+    rounds = 1
+    while rounds < max_rounds:
+        # back links: per-stream missing-chunk reports (ACK when complete)
+        requests: "dict[int, RequestFrame]" = {}
+        all_acked = True
+        for i, s in enumerate(rx.streams):
+            missing = (
+                s.assembler.missing_chunks()
+                if s.meta_received
+                else list(range(totals[i]))
+            )
+            req = _decode_request(backward(i, build_request_frame(missing, mode)), mode)
+            if isinstance(req, framing.FrameError) or not req.crc_valid:
+                all_acked = False  # lost request: sender retries next round
+                continue
+            if not req.is_ack:
+                requests[i] = req
+                all_acked = False
+        if all_acked:
+            break
+        resend: "dict[int, list[tuple[bytes, int]]]" = {}
+        for i, req in requests.items():
+            items = [(payload_for(i, s), pre_d) for s in req.missing]
+            if not rx.streams[i].meta_received:
+                items.insert(0, (meta_payload(i), pre_m))
+            resend[i] = items
+            sent_per_round[i].append(len(req.missing))
+        rounds += 1
+        if resend:
+            send_round(resend)
+        if all(s.assembler.is_complete for s in rx.streams):
+            break
+
+    reports = [
+        ArqReport(
+            complete=s.assembler.is_complete,
+            rounds=rounds,
+            chunks_sent_per_round=sent_per_round[i],
+            data=s.assembler.assemble() if s.meta_received else b"",
+            file_name=s.assembler.file_name,
+        )
+        for i, s in enumerate(rx.streams)
+    ]
+    rx.cleanup()
+    return reports
+
+
 def _decode_request(signal: np.ndarray, mode: ModemMode) -> RequestFrame | framing.FrameError:
     """Full-signal decode of a request frame with decode_signal's full
     retry ladder behind it: the public retry-loop decode

@@ -88,11 +88,80 @@ def cmd_receive(args) -> int:
     return 0 if res.complete else 2
 
 
+def _parse_channel_spec(text: str):
+    """Mini-language for --channel: comma-separated key=value pairs.
+    snr=DB, ppm=PPM, gain=G, dc=OFFSET, echo=DELAY:AMP (repeatable),
+    drop=START:LEN (repeatable)."""
+    from audio_modem_tpu.channel import ChannelSpec
+
+    kw: dict = {"multipath": [], "dropout": []}
+    for part in text.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k == "snr":
+            kw["snr_db"] = float(v)
+        elif k == "ppm":
+            kw["clock_ppm"] = float(v)
+        elif k == "gain":
+            kw["gain"] = float(v)
+        elif k == "dc":
+            kw["dc_offset"] = float(v)
+        elif k == "echo":
+            d, _, a = v.partition(":")
+            kw["multipath"].append((int(d), float(a)))
+        elif k == "drop":
+            s, _, n = v.partition(":")
+            kw["dropout"].append((int(s), int(n)))
+        else:
+            raise SystemExit(f"unknown channel key: {k!r}")
+    kw["multipath"] = tuple(kw["multipath"])
+    kw["dropout"] = tuple(kw["dropout"])
+    return ChannelSpec(**kw)
+
+
 def cmd_diagnose(args) -> int:
     from audio_modem_tpu import diag
     from audio_modem_tpu.configs import get_mode
     from audio_modem_tpu.utils.wav import read_wav
 
+    if args.live:
+        channel_fn = None
+        if args.channel:
+            from audio_modem_tpu.channel import apply_channel_np
+
+            spec = _parse_channel_spec(args.channel)
+            channel_fn = lambda s: apply_channel_np(s, spec)  # noqa: E731
+
+        def level_line(meter, n):
+            bar = "#" * min(int(meter.rms * 40), 20)
+            clip = " CLIP" if meter.clipping else ""
+            print(f"\r[diagnose] {n / 44100:6.1f}s | level [{bar:<20}]{clip}",
+                  end="", file=sys.stderr, flush=True)
+
+        d = diag.live_loopback_diagnosis(
+            get_mode(args.mode), channel_fn, speed=args.speed,
+            on_level=level_line,
+        )
+        print("", file=sys.stderr)
+        report = d.loopback
+        print(json.dumps({
+            "detected": report.detected,
+            "correlation": round(report.correlation, 4),
+            "ber": round(report.ber, 6),
+            "snr_db": round(report.snr_estimate_db, 2),
+            "quality": report.quality,
+            "recommended_mode": report.recommended_mode,
+            "input": {
+                "rms": round(d.input.rms, 4),
+                "peak": round(d.input.peak, 4),
+                "noise_floor": round(d.input.noise_floor, 6),
+                "clipping": d.input.clipping,
+            },
+            "samples_recorded": d.samples_recorded,
+        }))
+        return 0 if report.detected else 2
+    if not args.input:
+        raise SystemExit("diagnose: input WAV required (or use --live)")
     signal, _ = read_wav(args.input)
     report = diag.analyze_loopback(signal, get_mode(args.mode))
     print(json.dumps({
@@ -251,8 +320,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="read at most SEC seconds of audio (RAM budget)")
     p.set_defaults(fn=cmd_receive)
 
-    p = sub.add_parser("diagnose", help="analyze a recorded loopback WAV")
-    p.add_argument("input"); _add_mode(p)
+    p = sub.add_parser("diagnose", help="analyze a recorded loopback WAV, "
+                       "or run the live duplex pre-test (--live)")
+    p.add_argument("input", nargs="?",
+                   help="recorded WAV (omit with --live)"); _add_mode(p)
+    p.add_argument("--live", action="store_true",
+                   help="duplex pre-test: play the test signal while "
+                        "recording the return path (reference live loopback)")
+    p.add_argument("--channel", default=None, metavar="SPEC",
+                   help="injectable channel for --live, e.g. "
+                        "'snr=20,ppm=100,gain=0.5,dc=0.01,echo=50:0.3,"
+                        "drop=1000:500'")
+    p.add_argument("--speed", type=float, default=0.0,
+                   help="--live pacing multiple of real time (0 = unpaced)")
     p.set_defaults(fn=cmd_diagnose)
 
     p = sub.add_parser("testsignal", help="generate the known test signal")

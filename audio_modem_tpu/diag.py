@@ -297,3 +297,70 @@ def analyze_input(recording: np.ndarray, sample_rate: int = SAMPLE_RATE) -> Inpu
     spec_db = 20 * np.log10(spec + 1e-12)
     freqs = np.fft.rfftfreq(n_fft, 1 / sample_rate)[: n_fft // 2]
     return InputReport(rms, peak, noise_floor, rms > 0.9, spec_db, freqs)
+
+
+@dataclasses.dataclass
+class LiveDiagnosis:
+    """Result of the duplex live pre-test (play + record simultaneously)."""
+
+    loopback: LoopbackReport
+    input: InputReport
+    samples_played: int
+    samples_recorded: int
+
+
+def live_loopback_diagnosis(
+    mode: ModemMode,
+    channel_fn=None,
+    speed: float = 0.0,
+    block: int = 4096,
+    on_level=None,
+) -> LiveDiagnosis:
+    """Duplex live pre-test: PLAY the known test signal while RECORDING the
+    return path, then analyze the recording — the reference's live loopback
+    pre-test (app.js:1509-1618 plays via AudioContext while getUserMedia
+    records). Here the 'air' is an OS pipe pair: a writer thread paces the
+    test signal (optionally through ``channel_fn``, the injectable channel —
+    e.g. channel.apply_channel_np with a ChannelSpec) into the pipe at the
+    audio rate while this thread records block-by-block with a level meter.
+
+    ``speed``: pacing factor for the writer (0 = as fast as the pipe
+    drains — what tests use; 1.0 = real time). ``on_level``: optional
+    callback(LevelMeter, samples_recorded) per block for a live UI line.
+    """
+    import os as _os
+    import threading
+
+    from audio_modem_tpu.runtime.ingest import LevelMeter, PacedWriter, read_pcm_blocks
+
+    signal, _ = generate_test_signal(mode)
+    tx = np.asarray(signal, np.float32)
+    if channel_fn is not None:
+        tx = np.asarray(channel_fn(tx), np.float32)
+
+    r_fd, w_fd = _os.pipe()
+
+    def writer() -> None:
+        with _os.fdopen(w_fd, "wb") as w:
+            PacedWriter(w, fmt="f32", speed=speed).write(tx, block=block)
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    meter = LevelMeter()
+    chunks: list[np.ndarray] = []
+    n_rec = 0
+    with _os.fdopen(r_fd, "rb") as r:
+        for blk in read_pcm_blocks(r, block=block, fmt="f32"):
+            meter.update(blk)
+            chunks.append(blk)
+            n_rec += len(blk)
+            if on_level is not None:
+                on_level(meter, n_rec)
+    t.join()
+    recorded = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+    return LiveDiagnosis(
+        loopback=analyze_loopback(recorded, mode),
+        input=analyze_input(recorded),
+        samples_played=len(tx),
+        samples_recorded=n_rec,
+    )

@@ -637,96 +637,35 @@ def _chunk_kernel(
 _STREAM_SUBGROUPS = 4  # symbol groups per grid step (amortizes fixed cost)
 
 
-def _chunk_stream_kernel(
-    data_ref, ch_ref, scale_ref, rx_ref, pack_ref, words_ref, body_ref, tiled_ref,
-    *, mode: ModemMode, g_syms: int, sub_groups: int,
-):
-    """One grid step of the STREAMING demod kernel: demodulate
-    ``sub_groups`` x ``g_syms`` symbols of one 8-stream tile.
-
-    Unlike _chunk_kernel (whole frame resident in VMEM), the frame stays in
-    HBM and Pallas's grid pipeline DMAs successive [8, sub_groups*g_syms*sym]
-    data blocks in (double-buffered automatically across grid steps), so
-    VMEM footprint is O(block) and FRAME LENGTH IS UNBOUNDED — this is what
-    lifts the VMEM exile of long frames (512 B narrowband chunks ~500 k
-    samples, the ~7.3 M-sample 32 KB legacy frame; VERDICT r2 item 3). The
-    per-frame scale and the sectioned channel estimate arrive precomputed
-    (same dot_bf16x3 formulation, evaluated in the XLA prologue); the
-    EQ-normalized tiled channel is built ONCE per tile (grid's inner axis is
-    the block index, so tile scratch persists) into ``tiled_ref`` —
-    rebuilding it per step cost 12 small one-hot matmuls each."""
-    profile = mode.profile
-    g = _geometry(profile)
-    sym = profile.symbol_len
-    fft = profile.fft_size
-    nd_pad, np_pad = g["nd_pad"], g["np_pad"]
-    sect = 2 * (nd_pad + np_pad)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _build_tiled():
-        hd_re, hd_im, hd_ok, hp_re, hp_im, hp_ok = _tiled_channel(
-            ch_ref[...], g_syms, nd_pad, np_pad
-        )
-        tiled_ref[:, :nd_pad] = hd_re
-        tiled_ref[:, nd_pad : 2 * nd_pad] = hd_im
-        tiled_ref[:, 2 * nd_pad : 2 * nd_pad + np_pad] = hp_re
-        tiled_ref[:, 2 * nd_pad + np_pad : sect] = hp_im
-        tiled_ref[:, sect : sect + nd_pad] = hd_ok.astype(jnp.float32)
-        tiled_ref[:, sect + nd_pad : sect + nd_pad + np_pad] = hp_ok.astype(jnp.float32)
-
-    tl = tiled_ref[...]
-    tiled = (
-        tl[:, :nd_pad],
-        tl[:, nd_pad : 2 * nd_pad],
-        tl[:, sect : sect + nd_pad] > 0.5,
-        tl[:, 2 * nd_pad : 2 * nd_pad + np_pad],
-        tl[:, 2 * nd_pad + np_pad : sect],
-        tl[:, sect + nd_pad : sect + nd_pad + np_pad] > 0.5,
-    )
-    chunk = data_ref[...] * scale_ref[...]
-    rx = rx_ref[...]
-    pack = pack_ref[...]
-    for s in range(sub_groups):
-        base = s * g_syms * sym
-        for k in range(g_syms):
-            body_ref[pl.ds(k * _ROWS, _ROWS), :] = chunk[
-                :, base + k * sym : base + k * sym + fft
-            ]
-        spec = dot_bf16x3(body_ref[...], rx)
-        words = _eq_demap_pack(spec, *tiled, pack, mode, nd_pad, np_pad)
-        for k in range(g_syms):
-            words_ref[:, pl.ds((s * g_syms + k) * _LANE, _LANE)] = words[
-                k * _ROWS : (k + 1) * _ROWS
-            ]
-
-
 def _chunk_stream_flat_kernel(
     data_ref, ch_ref, scale_ref, rx_ref, pack_ref, out_ref, tiled_ref,
-    *, mode: ModemMode, n_all: int,
+    *, mode: ModemMode, n_all: int, slot: int,
 ):
-    """One grid step of the FLAT streaming demod kernel (sym % 128 == 0
-    profiles): the whole [8, n_all, sym] super-block collapses to a
-    [8*n_all, sym] stream-major matrix by a layout-preserving leading-dim
-    merge (minor dim stays the lane axis), the CP-stripped bodies are a
-    contiguous [:, :fft] slice of it, and ONE dot_bf16x3 feeds ONE
-    _eq_demap_pack over all n_all symbols x 8 streams.
+    """One grid step of the FLAT streaming demod kernel: the whole
+    [8, n_all, slot] super-block collapses to a [8*n_all, slot] stream-major
+    matrix by a layout-preserving leading-dim merge (minor dim stays the
+    lane axis), the CP-stripped bodies are a contiguous [:, :fft] slice of
+    it, and ONE dot_bf16x3 feeds ONE _eq_demap_pack over all n_all symbols
+    x 8 streams. slot is sym when sym % 128 == 0 (acoustic 640, narrowband
+    768); for lane-misaligned profiles (standard 576) the caller
+    pre-extracts fft-length bodies and slot == fft.
 
-    This removes the v2 kernel's 2 x g_syms strided sublane copies per
-    sub-group (body gather + words scatter), which cost it ~1.5x vs plain
-    XLA on long narrowband frames (BENCH r3 A/B: 785 vs 1179 Msps) — XLA
-    reads strided operands directly into its fused matmul; now the kernel
-    does too. Output rows stay stream-major per block; the XLA epilogue
-    transposes them back (HBM reshuffle, negligible vs the demod).
+    This removes the retired v2 kernel's 2 x g_syms strided sublane copies
+    per sub-group (body gather + words scatter), which cost it ~1.5x vs
+    plain XLA on long narrowband frames (BENCH r3 A/B: 785 vs 1179 Msps) —
+    XLA reads strided operands directly into its fused matmul; now the
+    kernel does too. Output rows stay stream-major per block; the XLA
+    epilogue transposes them back (HBM reshuffle, negligible vs the demod).
 
     Measured (v5e, 461k-sample narrowband chunk frames): at batch 8 both
-    paths sit on the ~2.3 ms tunnel dispatch floor (kernel 1206 vs XLA
-    1418 Msps — the gap is per-call fixed cost, not device time); at batch
-    64 the kernel wins 1.4x (7323 vs 5256 Msps), i.e. ~2x less device time
-    per sample. Acoustic frames at batch 64 are still dispatch-bound
-    (4041 vs 4367 Msps, both ~2.5 ms/call)."""
+    paths sit on the ~2.3 ms tunnel dispatch floor (the gap is per-call
+    fixed cost, not device time); at batch 64 the kernel wins ~1.4x over
+    XLA, i.e. ~2x less device time per sample. Acoustic frames at batch 64
+    are still dispatch-bound (both paths ~2.5 ms/call). Exact figures vary
+    run to run with tunnel jitter — the committed long_frame_* entries in
+    docs/bench_r*_local.json are the canonical A/B record."""
     profile = mode.profile
     g = _geometry(profile)
-    sym = profile.symbol_len
     fft = profile.fft_size
     nd_pad, np_pad = g["nd_pad"], g["np_pad"]
     sect = 2 * (nd_pad + np_pad)
@@ -753,7 +692,9 @@ def _chunk_stream_flat_kernel(
         tl[:, sect + nd_pad : sect + nd_pad + np_pad] > 0.5,
     )
     smul = _tile_rows(scale_ref[...], n_all, stream_major=True)  # [8*n_all, 1]
-    body = data_ref[...].reshape(_ROWS * n_all, sym)[:, :fft] * smul
+    # slot == sym for lane-aligned profiles; slot == fft when the caller
+    # pre-extracted CP-stripped bodies (lane-misaligned sym, e.g. standard)
+    body = data_ref[...].reshape(_ROWS * n_all, slot)[:, :fft] * smul
     spec = dot_bf16x3(body, rx_ref[...])
     out_ref[...] = _eq_demap_pack(spec, *tiled, pack_ref[...], mode, nd_pad, np_pad)
 
@@ -775,11 +716,27 @@ def _stream_demod_words(
     profile = mode.profile
     b = data.shape[0]
     sym = profile.symbol_len
+    fft = profile.fft_size
     g = _geometry(profile)
-    g_syms = _group_syms(sym, n_sym)
+    slot = sym
+    if sym % _LANE and fft % _LANE == 0:
+        # Lane-misaligned symbol slots (standard profile: 576 = 4.5 lanes):
+        # ONE XLA strided slice extracts the CP-stripped fft-length bodies,
+        # so the flat kernel's layout-preserving row merge applies (fft is
+        # 128-aligned for every profile). Costs one [B, n_slots*fft] HBM
+        # materialization (~8 B/sample of extra traffic — far under the HBM
+        # roof at the kernel's measured rate) and retires the v2
+        # strided-copy kernel for these profiles, which measured ~1.5x
+        # SLOWER than plain XLA on the same structure (VERDICT r3 item 4).
+        if data.shape[1] % sym:
+            data = jnp.pad(data, ((0, 0), (0, sym - data.shape[1] % sym)))
+        n_slots = data.shape[1] // sym
+        data = data.reshape(b, n_slots, sym)[:, :, :fft].reshape(b, n_slots * fft)
+        slot = fft
+    g_syms = _group_syms(slot, n_sym)
     n_groups = -(-n_sym // g_syms)
     sub_groups = min(_STREAM_SUBGROUPS, n_groups)
-    super_len = sub_groups * g_syms * sym
+    super_len = sub_groups * g_syms * slot
     n_super = -(-n_groups // sub_groups)
     need = n_super * super_len
     if data.shape[1] < need:
@@ -789,16 +746,16 @@ def _stream_demod_words(
     pack = jnp.asarray(_pack_matrix(mode))
     sect = rx.shape[1]
 
-    if sym % _LANE == 0:
+    if slot % _LANE == 0:
         # flat path: lane-aligned symbol slots -> one [8*n_all, fft] dot per
         # grid step, zero in-kernel copies (see _chunk_stream_flat_kernel)
         n_all = sub_groups * g_syms
-        data3 = data.reshape(b, n_super * n_all, sym)
+        data3 = data.reshape(b, n_super * n_all, slot)
         kernel = pl.pallas_call(
-            partial(_chunk_stream_flat_kernel, mode=mode, n_all=n_all),
+            partial(_chunk_stream_flat_kernel, mode=mode, n_all=n_all, slot=slot),
             grid=(b // _ROWS, n_super),
             in_specs=[
-                pl.BlockSpec((_ROWS, n_all, sym), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_ROWS, n_all, slot), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((_ROWS, sect), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((_ROWS, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(rx.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
@@ -827,30 +784,15 @@ def _stream_demod_words(
             .reshape(b, n_super * n_all * _LANE)
         )
 
-    kernel = pl.pallas_call(
-        partial(_chunk_stream_kernel, mode=mode, g_syms=g_syms, sub_groups=sub_groups),
-        grid=(b // _ROWS, n_super),
-        in_specs=[
-            pl.BlockSpec((_ROWS, super_len), lambda i, s: (i, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, sect), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(rx.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(pack.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_ROWS, sub_groups * g_syms * _LANE), lambda i, s: (i, s), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_super * sub_groups * g_syms * _LANE), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_ROWS * g_syms, profile.fft_size), jnp.float32),
-            pltpu.VMEM((_ROWS * g_syms, 3 * (g["nd_pad"] + g["np_pad"])), jnp.float32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
+    # unreachable for every shipped profile: sym or fft is a 128-multiple
+    # (standard 576/512, acoustic 640, narrowband 768). The v2 strided-copy
+    # kernel that handled this case measured ~1.5x slower than plain XLA
+    # and was retired when the body-extraction prologue above made the flat
+    # kernel universal.
+    raise NotImplementedError(
+        f"profile {profile.name}: neither symbol_len ({sym}) nor fft_size "
+        f"({fft}) is a multiple of {_LANE}"
     )
-    return kernel(data.astype(jnp.float32), ch, scale, rx, pack)
 
 
 def _words_to_bits(words: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
@@ -881,8 +823,8 @@ def decode_chunks_fused_stream(
     whole: the XLA prologue computes the per-frame peak scale and the
     sectioned CE (with the SAME dot_bf16x3 formulation as the resident
     kernel, so the two kernel paths and the XLA path stay
-    decision-identical), and the gridded _chunk_stream_kernel demodulates
-    symbol-group blocks with double-buffered HBM DMA."""
+    decision-identical), and the gridded _chunk_stream_flat_kernel
+    demodulates symbol-group blocks with double-buffered HBM DMA."""
     profile = mode.profile
     b, t = frames.shape
     if b % _ROWS:

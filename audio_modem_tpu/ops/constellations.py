@@ -85,16 +85,51 @@ def _tables(name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def map_bits(name: str, bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Map MSB-first bits [..., n_sym*bps] -> (re, im) each [..., n_sym].
 
-    Matches constellationMap (modem.js:133-138).
+    Matches constellationMap (modem.js:133-138) — bit-exactly the same f32
+    values as the point table, but computed in CLOSED FORM (the inverse of
+    demap's per-axis Gray slicing) instead of a table gather: a
+    [..., n_points]-indexed gather lowers to scalar loads on TPU and
+    measured ~10 ms of a 12.6 ms B=512 TX launch (~80% of whole-frame
+    synthesis); the elementwise form is VPU-fused and effectively free.
+    Level values come from a tiny where-chain over the <=8 per-axis levels,
+    so each emitted float is the SAME f64-rounded-to-f32 constant the table
+    holds.
     """
     c = CONSTELLATIONS[name]
-    pts, _, _ = _tables(name)
     *lead, nb = bits.shape
     groups = bits.reshape(*lead, nb // c.bps, c.bps).astype(jnp.int32)
-    weights = 2 ** jnp.arange(c.bps - 1, -1, -1, dtype=jnp.int32)
-    idx = (groups * weights).sum(axis=-1)
-    mapped = jnp.asarray(pts)[idx]  # [..., n_sym, 2]
-    return mapped[..., 0], mapped[..., 1]
+    if name == "BPSK":
+        re = (1 - 2 * groups[..., 0]).astype(jnp.float32)
+        return re, jnp.zeros_like(re)
+    if name == "QPSK":
+        b0, b1 = groups[..., 0], groups[..., 1]
+        im = (1 - 2 * b0).astype(jnp.float32) * jnp.float32(_SQ)
+        re = (1 - 2 * (b0 ^ b1)).astype(jnp.float32) * jnp.float32(_SQ)
+        return re, im
+    # square QAM: idx = [row bits | col bits]; axis level = (2*gray(v) - top)*s
+    # (the exact _square_qam_points construction, run in reverse)
+    bpa = c.bps // 2
+    m = 1 << bpa
+    top = m - 1
+    pts = c.points_np()
+    s = pts[:, 0].max() / top  # float64 level spacing / 2
+
+    def axis_value(v: jnp.ndarray) -> jnp.ndarray:
+        g = v ^ (v >> 1)
+        out = jnp.zeros(v.shape, jnp.float32)
+        for lvl in range(m):
+            out = jnp.where(g == lvl, np.float32((2 * lvl - top) * s), out)
+        return out
+
+    def bits_to_int(sl: jnp.ndarray) -> jnp.ndarray:
+        v = sl[..., 0]
+        for j in range(1, bpa):
+            v = (v << 1) | sl[..., j]
+        return v
+
+    row = bits_to_int(groups[..., :bpa])
+    col = bits_to_int(groups[..., bpa:])
+    return axis_value(col), axis_value(row)
 
 
 def _inverse_gray(g: jnp.ndarray, nbits: int) -> jnp.ndarray:

@@ -88,14 +88,56 @@ def _pack_round(detected: jnp.ndarray, start: jnp.ndarray, by: jnp.ndarray) -> j
 
 
 def _unpack_round(packed: np.ndarray):
-    detected = packed[:, 0].astype(bool)
+    detected = packed[..., 0].astype(bool)
     starts = (
-        (packed[:, 1].astype(np.int64) << 24)
-        | (packed[:, 2].astype(np.int64) << 16)
-        | (packed[:, 3].astype(np.int64) << 8)
-        | packed[:, 4].astype(np.int64)
+        (packed[..., 1].astype(np.int64) << 24)
+        | (packed[..., 2].astype(np.int64) << 16)
+        | (packed[..., 3].astype(np.int64) << 8)
+        | packed[..., 4].astype(np.int64)
     )
-    return detected, starts, packed[:, 5:]
+    return detected, starts, packed[..., 5:]
+
+
+def _classify_round(packed: np.ndarray, chunk_size: int):
+    """Vectorized steady-state classification of a whole K-slot round.
+
+    One numpy pass over the [n, K, 5 + n_bytes] packed matrix marks the
+    slots that are CRC-valid data frames of exactly ``chunk_size`` payload
+    bytes — the common case of every steady-state slot. _consume_multi's
+    per-slot work for those slots collapses to scalar reads + a fast-path
+    assembler store; before this, each slot built a bytes copy, a parse, a
+    DataFrame, and a full _route_result (measured as the largest host cost
+    that would survive a non-tunneled deployment — VERDICT r3 item 1).
+
+    Returns (detected [n,K], starts [n,K], full [n,K], seqs [n,K]) or None
+    when the packed rows cannot hold a full chunk (callers then take the
+    general per-slot path for everything).
+    """
+    detected, starts, by = _unpack_round(packed)
+    crc_off = 7 + chunk_size
+    if by.shape[-1] < crc_off + 4:
+        return None
+    dlen = (by[:, :, 5].astype(np.int32) << 8) | by[:, :, 6]
+    cand = detected & (by[:, :, 0] == framing.FRAME_DATA) & (dlen == chunk_size)
+    seqs = (
+        (by[:, :, 1].astype(np.int64) << 24)
+        | (by[:, :, 2].astype(np.int64) << 16)
+        | (by[:, :, 3].astype(np.int64) << 8)
+        | by[:, :, 4].astype(np.int64)
+    )
+    expected = (
+        (by[:, :, crc_off].astype(np.int64) << 24)
+        | (by[:, :, crc_off + 1].astype(np.int64) << 16)
+        | (by[:, :, crc_off + 2].astype(np.int64) << 8)
+        | by[:, :, crc_off + 3].astype(np.int64)
+    )
+    full = np.zeros(cand.shape, bool)
+    # zlib.crc32 straight off the (contiguous) row views — C speed, no copies
+    import zlib
+
+    for i, k in zip(*np.nonzero(cand)):
+        full[i, k] = zlib.crc32(by[i, k, :crc_off]) == expected[i, k]
+    return detected, starts, full, seqs
 
 
 @partial(jax.jit, static_argnames=("mode", "max_syms", "w"))
@@ -627,6 +669,19 @@ class BatchReceiver:
         truth-state updates below apply as usual."""
         rerun = False
         spec = spec_gens is not None
+        # vectorized pre-pass: unpack + classify EVERY slot in one numpy
+        # sweep (magic/seq/dlen fields, C-speed CRC over contiguous row
+        # views) so the per-slot Python below reads precomputed scalars for
+        # the steady-state common case instead of building bytes + parse +
+        # DataFrame per slot (VERDICT r3 item 1: host consume was the
+        # largest non-tunnel cost in the whole-runtime stage breakdown)
+        det_all, start_all, by_all = _unpack_round(packed)
+        full_all = seq_all = None
+        cs0 = self.streams[active[0]].assembler.chunk_size if active else 0
+        if not self.fec and cs0:
+            cls = _classify_round(packed, cs0)
+            if cls is not None:
+                _, _, full_all, seq_all = cls
         for i in active:
             s = self.streams[i]
             if spec and spec_gens[i] != s.gen:
@@ -651,10 +706,7 @@ class BatchReceiver:
                     ),
                 )
 
-            # one unpack per stream (not per slot): the K-slot loop then
-            # reads plain scalars — per-slot numpy slicing was a measurable
-            # share of the steady-state consume cost at 64 streams x 8 slots
-            det, start_v, by_row = _unpack_round(packed[i])
+            det, start_v, by_row = det_all[i], start_all[i], by_all[i]
             for k in range(packed.shape[1]):
                 if not bool(det[k]):
                     if k == 0 and not predicted:
@@ -699,6 +751,30 @@ class BatchReceiver:
                         s.state = RecvState.PREAMBLE_DETECTED
                         rerun = True
                     break
+                if (
+                    full_all is not None
+                    and bool(full_all[i, k])
+                    and s.meta_received
+                    and s.assembler.chunk_size == cs0
+                ):
+                    # FAST PATH: the vectorized pre-pass already proved this
+                    # slot is a CRC-valid full data chunk. Store straight off
+                    # the numpy row view and apply exactly the state updates
+                    # _route_result would make for it: payload_len = 11 + cs0
+                    # is the same value est_len was computed from, so
+                    # resume_pos = min(abs_start + est_len, est_end) = est_end.
+                    s.assembler.store_valid_chunk(
+                        int(seq_all[i, k]), by_row[k, 7 : 7 + cs0]
+                    )
+                    s.stats.frames_decoded += 1
+                    s.stats.chunks_received = s.assembler.received_count
+                    s.scan_pos = est_end
+                    s.preamble_pos = -1
+                    s.expected_frame_end = -1
+                    s.state = RecvState.IDLE
+                    s.pred_start = -1
+                    last_start = abs_start
+                    continue
                 result = framing.parse_payload_bytes(by_row[k].tobytes(), min_len=6)
                 s.preamble_pos = abs_start
                 s.expected_frame_end = est_end

@@ -1,0 +1,34 @@
+"""TX synthesis throughput after the closed-form map_bits fix."""
+import time
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_amt_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from audio_modem_tpu.configs import MODES
+from audio_modem_tpu.framing import _synth_frames_core, build_data_chunk_payload, num_symbols_for_payload
+
+T0 = time.time()
+def log(m): print(f"[+{time.time()-T0:6.1f}s] {m}", flush=True)
+
+mode = MODES["QPSK"]; p = mode.profile
+rng = np.random.default_rng(0)
+chunk = mode.chunk_size
+n_sym = num_symbols_for_payload(chunk + 11, mode)
+pre, post = p.silence_pre_chunk(False), p.silence_post_chunk()
+for nb, depth in ((512, 10), (4096, 4)):
+    pls = [build_data_chunk_payload(rng.bytes(chunk), s) for s in range(nb)]
+    u8 = jax.device_put(jnp.asarray(np.frombuffer(b"".join(pls), np.uint8).reshape(nb, -1)))
+    enc = jax.jit(lambda u: _synth_frames_core(u, mode, n_sym, pre, post))
+    out = jax.block_until_ready(enc(u8)); log(f"B={nb} compiled, out {out.shape}")
+    _ = np.asarray(out[0, :8])
+    total = out.shape[0] * out.shape[1]
+    best = 1e9
+    for _ in range(3):
+        t = time.perf_counter()
+        for _ in range(depth):
+            out = enc(u8)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t)
+    log(f"B={nb}: {best/depth*1e3:7.2f} ms/launch  {total*depth/best/1e6:8.0f} Msps")
+log("done")

@@ -83,3 +83,53 @@ class TestArqSession:
         rep = arq.run_arq_session(data, mode, "c.bin", forward=forward, backward=flaky_backward, max_rounds=5)
         assert rep.complete and rep.data == data
         assert back_calls["n"] >= 2  # request was retried after the loss
+
+
+class TestBatchArqSession:
+    """Selective repeat over the BATCHED runtime (VERDICT r3 item 7: the
+    scale path previously ended at a missing-chunk report on loss)."""
+
+    def test_64_streams_with_per_stream_dropouts(self):
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(7)
+        n = 64
+        cs = mode.chunk_size
+        datas = [rng.bytes(cs * 3) for _ in range(n)]
+        names = [f"f{i:02d}.bin" for i in range(n)]
+
+        # frame geometry for targeting one specific chunk per stream
+        meta_len = len(framing.build_metadata_frame(3, cs * 3, cs, names[0], mode))
+        chunk_len = len(framing.build_data_chunk_frame(datas[0][:cs], 0, mode))
+        seen = [0] * n
+
+        def forward(i, sig):
+            seen[i] += 1
+            if seen[i] == 1 and i % 2 == 0:
+                # round 1: kill chunk (i//2 % 3)'s frame on even streams
+                k = (i // 2) % 3
+                out = sig.copy()
+                start = meta_len + k * chunk_len
+                out[start : start + chunk_len] = 0.0
+                return out
+            return sig
+
+        reps = arq.run_batch_arq_session(datas, mode, names, forward, max_rounds=4)
+        assert all(r.complete for r in reps), [
+            (i, r.chunks_sent_per_round) for i, r in enumerate(reps) if not r.complete
+        ]
+        for i, r in enumerate(reps):
+            assert r.data == datas[i]
+            assert r.file_name == names[i]
+            assert r.chunks_sent_per_round[0] == 3
+            if i % 2 == 0:  # dropped streams actually retransmitted
+                assert sum(r.chunks_sent_per_round[1:]) >= 1
+
+    def test_all_clean_single_round(self):
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(8)
+        datas = [rng.bytes(mode.chunk_size * 2 + 5) for _ in range(4)]
+        names = [f"c{i}.bin" for i in range(4)]
+        reps = arq.run_batch_arq_session(datas, mode, names, lambda i, s: s)
+        assert all(r.complete for r in reps)
+        assert all(r.data == d for r, d in zip(reps, datas))
+        assert all(r.chunks_sent_per_round == [3] for r in reps)

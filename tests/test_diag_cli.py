@@ -117,6 +117,46 @@ class TestCliDiagnostics:
         assert report["detected"] and report["quality"] == "excellent"
         assert report["recommended_mode"] == "16-QAM"
 
+    def test_diagnose_live_clean(self, capsys):
+        """Duplex pre-test: play + record simultaneously over a pipe pair
+        (the reference's live loopback, app.js:1509-1618)."""
+        import json as _json
+
+        from audio_modem_tpu.cli import main
+
+        assert main(["diagnose", "--live", "--mode", "QPSK"]) == 0
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["detected"] and report["quality"] == "excellent"
+        assert report["recommended_mode"] == "16-QAM"
+        assert report["samples_recorded"] > 0
+        assert report["input"]["peak"] > 0.1 and not report["input"]["clipping"]
+
+    def test_diagnose_live_injected_channel(self, capsys):
+        import json as _json
+
+        from audio_modem_tpu.cli import main
+
+        assert main(
+            ["diagnose", "--live", "--mode", "BPSK-ACOUSTIC",
+             "--channel", "snr=12,gain=0.4"]
+        ) == 0
+        report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["detected"]
+        assert report["ber"] < 0.05
+
+    def test_live_diagnosis_api_degraded_channel(self):
+        """Library-level: a poor channel must downgrade the recommendation."""
+        from audio_modem_tpu.diag import live_loopback_diagnosis
+
+        mode = MODES["QPSK"]
+        noisy = lambda s: channel.apply_channel_np(  # noqa: E731
+            s, channel.ChannelSpec(snr_db=-8.0, gain=0.2), seed=3
+        )
+        d = live_loopback_diagnosis(mode, channel_fn=noisy)
+        assert d.samples_recorded == d.samples_played
+        assert d.loopback.quality == "poor"
+        assert d.loopback.recommended_mode == "BPSK-REPEAT"
+
     def test_sweep_command(self, tmp_path):
         from audio_modem_tpu.cli import main
         from audio_modem_tpu.utils.wav import read_wav
