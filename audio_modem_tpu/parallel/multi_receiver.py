@@ -824,6 +824,11 @@ class BatchReceiver:
                     rerun = True
                 else:
                     s.defer_total = next_round_end - 1
+        for i in active:
+            # flush deferred fast-path sqlite stores once per round (no-op
+            # for in-memory assemblers); per-chunk commits measured ~112 us
+            # each and dominated persistent-store soak consume
+            self.streams[i].assembler.commit()
         return rerun
 
     def _drain_pending(self, drain_all: bool = False) -> None:

@@ -73,6 +73,28 @@ class TestAssembler:
         assert asm2.assemble() == b"x" * 32 + b"y" * 32 + b"w" * 32
         asm2.cleanup()
 
+    def test_fast_path_store_deferred_commit(self, tmp_path):
+        """store_valid_chunk (BatchReceiver's vectorized consume) defers the
+        sqlite commit to commit(); reads within the connection stay exact and
+        durability lands at the round boundary / cleanup."""
+        db = str(tmp_path / "c3.db")
+        asm = ChunkAssembler(db)
+        asm.handle_metadata(self._meta(n=3, size=96, csize=32))
+        import numpy as np
+
+        assert asm.store_valid_chunk(0, np.frombuffer(b"x" * 32, np.uint8))
+        assert not asm.store_valid_chunk(0, b"y" * 32)  # duplicate suppressed
+        assert not asm.store_valid_chunk(9, b"y" * 32)  # out of range
+        assert asm.received_count == 1
+        assert asm.missing_chunks() == [1, 2]  # uncommitted row still visible
+        asm.commit()
+        assert asm.store_valid_chunk(1, b"y" * 32)
+        asm.cleanup()  # commits the tail store
+        asm2 = ChunkAssembler(db, resume=True)
+        assert asm2.received_count == 2
+        assert asm2.assemble()[:64] == b"x" * 32 + b"y" * 32
+        asm2.cleanup()
+
     def test_new_metadata_clears(self, tmp_path):
         db = str(tmp_path / "c2.db")
         asm = ChunkAssembler(db)

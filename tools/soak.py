@@ -93,6 +93,42 @@ def main() -> int:
         lambda s, o: jnp.tile(jax.lax.dynamic_slice(s, (0, o), (n_sig, block)), (reps, 1))
     )
 
+    # warm every executable bucket first (startup scan, K∈{8,4,2,1} multi/
+    # pred rounds, tail drain): first-use compiles go through the remote
+    # relay at 20-100 s each and must not sit inside the timed soak — the
+    # first hardware run measured 2.2 Msps with 328 of 333 s in compiles
+    log("warmup transfer (compiles)")
+    n_warm = min(4 * 8, n_chunks)
+    wsig = jnp.concatenate(
+        [
+            jnp.asarray(
+                framing.build_metadata_frame(n_warm, n_warm * chunk, chunk, "w.bin", mode)
+            ),
+            framing._synth_frames_core(
+                jnp.asarray(
+                    np.frombuffer(
+                        b"".join(
+                            framing.build_data_chunk_payload(
+                                files[0][s * chunk : (s + 1) * chunk], s
+                            )
+                            for s in range(n_warm)
+                        ),
+                        np.uint8,
+                    ).reshape(n_warm, -1)
+                ),
+                mode, n_sym, pre, post,
+            ).reshape(-1),
+        ]
+    )
+    wt = -(-wsig.shape[0] // block) * block
+    wsig8 = jnp.tile(jnp.pad(wsig, (0, wt - wsig.shape[0]))[None, :], (n_sig, 1))
+    warm = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True)
+    for j in range(wt // block):
+        warm.process_blocks(slice_blocks(wsig8, jnp.int32(j * block)))
+    warm.flush()
+    assert all(r["complete"] for r in warm.results()), "warmup transfer failed"
+    log("warmup done")
+
     with tempfile.TemporaryDirectory() as td:
         rx = BatchReceiver(mode, n, persist_dir=td, scan_bucket=block, device_ingest=True)
         t0 = time.perf_counter()
