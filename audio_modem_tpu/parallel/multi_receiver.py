@@ -639,6 +639,66 @@ class BatchReceiver:
             min(w, w_cap),
         )
 
+    def precompile(self, chunk_size: int | None = None) -> int:
+        """AOT-compile every decode program this receiver can dispatch for a
+        transfer with the given steady-state chunk size (default: the mode's
+        native chunk size), and return how many programs were built.
+
+        The K-frames-per-round machinery buckets its programs by
+        (k, window): k is a power of two ≤ frames_per_round, clamped late in
+        a transfer by the chunks remaining (k_next), so a long run
+        eventually dispatches k = 4, 2 rounds that a short warmup transfer
+        never exercises. Through this image's 20-100 s remote-compile relay
+        a single cold bucket mid-run stalls the pipeline for longer than the
+        entire transfer: the round-4 config-5 soak first measured 9 Msps
+        with 78.7 of 81.2 s sitting in exactly these first-use compiles.
+        Production receivers should call this once before going live."""
+        cs = int(chunk_size) if chunk_size is not None else self.mode.chunk_size
+        mp_payload = cs + 11
+        if self.fec:
+            mp_payload = framing.fec_wire_len(mp_payload)
+        p = self.mode.profile
+        est_len = framing.estimate_frame_samples(mp_payload, self.mode)
+        cadence = est_len + p.silence_pre_chunk(False) + p.silence_post_chunk()
+        margin = 4 * p.symbol_len + 2 * self._half + 2048
+        n_sym_frame = framing.num_symbols_for_payload(mp_payload, self.mode)
+        w_cap = self.dring.capacity if self.device_ingest else self.scan_bucket
+        k_max = min(self.frames_per_round, max((w_cap - margin) // cadence, 1))
+        ones = jnp.ones(self.n, jnp.int32)
+        zeros = jnp.zeros(self.n, jnp.int32)
+        n_built = 0
+        k = 1 << (k_max.bit_length() - 1) if k_max > 1 else 0
+        while k >= 2:
+            w = min(-(-(k * cadence + margin) // 128) * 128, w_cap)
+            if self.device_ingest:
+                jax.block_until_ready(_batch_window_decode_multi_dev(
+                    self.dring.buf, zeros, zeros, ones * w, self.mode,
+                    n_sym_frame, k, cadence, w,
+                ))
+                jax.block_until_ready(_batch_window_decode_pred_dev(
+                    self.dring.buf, zeros, zeros + margin // 2, ones * w,
+                    self.mode, n_sym_frame, k, cadence, w,
+                ))
+            else:
+                win = jnp.zeros((self.n, w), jnp.float32)
+                jax.block_until_ready(_batch_window_decode_multi(
+                    win, zeros, ones * w, self.mode, n_sym_frame, k, cadence,
+                ))
+            n_built += 2 if self.device_ingest else 1
+            k //= 2
+        # the startup / k=1 / non-uniform-shape fallback program
+        if self.device_ingest:
+            jax.block_until_ready(_batch_window_decode_dev(
+                self.dring.buf, zeros, zeros, ones * self.scan_bucket,
+                self.mode, self._win_max_syms, self.scan_bucket,
+            ))
+        else:
+            jax.block_until_ready(_batch_window_decode(
+                jnp.zeros((self.n, self.scan_bucket), jnp.float32),
+                ones * self.scan_bucket, self.mode, self._win_max_syms,
+            ))
+        return n_built + 1
+
     def _consume_multi(
         self, active, bases, lens, packed, est_len: int, cadence: int, w: int,
         predicted: bool = False, spec_gens: "dict[int, int] | None" = None,

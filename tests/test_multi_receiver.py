@@ -51,6 +51,24 @@ class TestBatchReceiver:
             assert r["complete"], (i, r["missing"])
             assert r["data"] == f
 
+    def test_precompile_covers_buckets_and_decodes(self):
+        # precompile builds every (k, window) bucket program up front (the
+        # r4 soak measured 78.7 of 81.2 s in first-use compiles of the
+        # k=4/2 buckets a short warmup never hits); the transfer must then
+        # decode identically
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(73)
+        data = rng.bytes(mode.chunk_size * 20)
+        sig = np.concatenate(list(api.encode_chunked(data, mode, "p.bin")))
+        rx = BatchReceiver(mode, 2, device_ingest=True)
+        n_prog = rx.precompile(mode.chunk_size)
+        assert n_prog >= 3  # k=8 multi+pred at minimum, plus the scan program
+        _feed_batch(rx, [sig, sig])
+        for r in rx.results():
+            assert r["complete"] and r["data"] == data
+        host = BatchReceiver(mode, 2, window_decode=True)
+        assert host.precompile() >= 1
+
     def test_matches_single_stream_receiver(self):
         from audio_modem_tpu.runtime.receiver import StreamingReceiver
 

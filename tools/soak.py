@@ -123,6 +123,8 @@ def main() -> int:
     wt = -(-wsig.shape[0] // block) * block
     wsig8 = jnp.tile(jnp.pad(wsig, (0, wt - wsig.shape[0]))[None, :], (n_sig, 1))
     warm = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True)
+    n_prog = warm.precompile(chunk)  # every (k, window) bucket incl. k=4/2
+    log(f"precompiled {n_prog} bucket programs")
     for j in range(wt // block):
         warm.process_blocks(slice_blocks(wsig8, jnp.int32(j * block)))
     warm.flush()
