@@ -143,9 +143,7 @@ def _classify_round(packed: np.ndarray, chunk_size: int):
 @partial(jax.jit, static_argnames=("mode", "max_syms", "w"))
 def _batch_window_decode_dev(
     buf: jnp.ndarray,
-    start_rel: jnp.ndarray,
-    min_pos: jnp.ndarray,
-    n_valid: jnp.ndarray,
+    params: jnp.ndarray,  # [3, n] int32: start_rel, min_pos, n_valid
     mode: ModemMode,
     max_syms: int,
     w: int,
@@ -153,7 +151,9 @@ def _batch_window_decode_dev(
     """Device-ring turbo dispatch: slice each stream's window out of the
     resident ring (vmapped dynamic slice — the samples NEVER cross the
     host boundary), then the fused full pipeline + vote + pack. Host
-    traffic per round: a few scalars up, ONE packed result matrix down."""
+    traffic per round: ONE packed [3, n] scalar upload, ONE packed result
+    matrix down."""
+    start_rel, min_pos, n_valid = params[0], params[1], params[2]
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
     out = batch_decode_signals(windows, n_valid, mode, max_syms, min_pos=min_pos)
     b = out["bits"]
@@ -334,15 +334,17 @@ def _multi_decode_core(
 @partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence", "w"))
 def _batch_window_decode_multi_dev(
     buf: jnp.ndarray,
-    start_rel: jnp.ndarray,
-    min_pos: jnp.ndarray,
-    n_valid: jnp.ndarray,
+    params: jnp.ndarray,  # [3, n] int32: start_rel, min_pos, n_valid
     mode: ModemMode,
     n_sym_frame: int,
     k_frames: int,
     cadence: int,
     w: int,
 ):
+    """Per-round host scalars arrive as ONE packed [3, n] int32 upload —
+    three separate transfers each paid the per-call tunnel floor (~2-3 ms
+    here) and are three enqueues anywhere."""
+    start_rel, min_pos, n_valid = params[0], params[1], params[2]
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
     return _multi_decode_core(windows, n_valid, min_pos, mode, n_sym_frame, k_frames, cadence)
 
@@ -350,9 +352,7 @@ def _batch_window_decode_multi_dev(
 @partial(jax.jit, static_argnames=("mode", "n_sym_frame", "k_frames", "cadence", "w"))
 def _batch_window_decode_pred_dev(
     buf: jnp.ndarray,
-    start_rel: jnp.ndarray,
-    pred0: jnp.ndarray,
-    n_valid: jnp.ndarray,
+    params: jnp.ndarray,  # [3, n] int32: start_rel, pred0, n_valid
     mode: ModemMode,
     n_sym_frame: int,
     k_frames: int,
@@ -360,7 +360,9 @@ def _batch_window_decode_pred_dev(
     w: int,
 ):
     """Scan-free steady-state round: every slot (including slot 0) decodes at
-    a cadence-predicted position (window-relative ``pred0``)."""
+    a cadence-predicted position (window-relative ``pred0``). Host scalars
+    arrive as ONE packed [3, n] int32 upload (see _batch_window_decode_multi_dev)."""
+    start_rel, pred0, n_valid = params[0], params[1], params[2]
     windows = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (w,)))(buf, start_rel)
     return _multi_decode_core(
         windows, n_valid, None, mode, n_sym_frame, k_frames, cadence, pred0=pred0
@@ -672,11 +674,12 @@ class BatchReceiver:
             w = min(-(-(k * cadence + margin) // 128) * 128, w_cap)
             if self.device_ingest:
                 jax.block_until_ready(_batch_window_decode_multi_dev(
-                    self.dring.buf, zeros, zeros, ones * w, self.mode,
-                    n_sym_frame, k, cadence, w,
+                    self.dring.buf, jnp.stack([zeros, zeros, ones * w]),
+                    self.mode, n_sym_frame, k, cadence, w,
                 ))
                 jax.block_until_ready(_batch_window_decode_pred_dev(
-                    self.dring.buf, zeros, zeros + margin // 2, ones * w,
+                    self.dring.buf,
+                    jnp.stack([zeros, zeros + margin // 2, ones * w]),
                     self.mode, n_sym_frame, k, cadence, w,
                 ))
             else:
@@ -689,7 +692,8 @@ class BatchReceiver:
         # the startup / k=1 / non-uniform-shape fallback program
         if self.device_ingest:
             jax.block_until_ready(_batch_window_decode_dev(
-                self.dring.buf, zeros, zeros, ones * self.scan_bucket,
+                self.dring.buf,
+                jnp.stack([zeros, zeros, ones * self.scan_bucket]),
                 self.mode, self._win_max_syms, self.scan_bucket,
             ))
         else:
@@ -994,9 +998,7 @@ class BatchReceiver:
                     ):
                         dev = _batch_window_decode_pred_dev(
                             self.dring.buf,
-                            jnp.asarray(start_rel),
-                            jnp.asarray(pred_rel),
-                            jnp.asarray(lens),
+                            jnp.asarray(np.stack([start_rel, pred_rel, lens])),
                             self.mode,
                             n_sym_frame,
                             k,
@@ -1028,9 +1030,7 @@ class BatchReceiver:
                     if predicted:
                         dev = _batch_window_decode_pred_dev(
                             self.dring.buf,
-                            jnp.asarray(start_rel),
-                            jnp.asarray(pred_rel),
-                            jnp.asarray(lens),
+                            jnp.asarray(np.stack([start_rel, pred_rel, lens])),
                             self.mode,
                             n_sym_frame,
                             k,
@@ -1040,9 +1040,7 @@ class BatchReceiver:
                     else:
                         dev = _batch_window_decode_multi_dev(
                             self.dring.buf,
-                            jnp.asarray(start_rel),
-                            jnp.asarray(min_rel),
-                            jnp.asarray(lens),
+                            jnp.asarray(np.stack([start_rel, min_rel, lens])),
                             self.mode,
                             n_sym_frame,
                             k,
@@ -1062,9 +1060,7 @@ class BatchReceiver:
             with self.timer.stage("single_dispatch", int(lens.sum())):
                 out = _batch_window_decode_dev(
                     self.dring.buf,
-                    jnp.asarray(start_rel),
-                    jnp.asarray(min_rel),
-                    jnp.asarray(lens),
+                    jnp.asarray(np.stack([start_rel, min_rel, lens])),
                     self.mode,
                     self._win_max_syms,
                     w,
