@@ -41,9 +41,15 @@ def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) 
 
         if fused_chunks_fits(frames.shape[-1], mode, n_sym):
             return decode_chunks_fused(frames, mode, n_sym)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and mode.profile.symbol_len % 128 == 0:
             # past the VMEM-resident gate: the gridded streaming kernel
-            # (double-buffered HBM DMA, frame length unbounded)
+            # (double-buffered HBM DMA, frame length unbounded). Routed by
+            # measured winner per profile (BENCH r4 long-frame A/B):
+            # lane-aligned symbols (acoustic 640, narrowband 768) the kernel
+            # wins ~1.35x over XLA; the lane-misaligned standard profile
+            # (576) needs a body-extraction prologue whose extra HBM
+            # round-trip loses ~10% to plain XLA (4342 vs 4758 Msps), so
+            # standard long frames take the XLA path below.
             return decode_chunks_fused_stream(frames, mode, n_sym)
     return _batch_decode_chunk_frames_xla(frames, mode, n_sym)
 

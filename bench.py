@@ -472,6 +472,46 @@ def main() -> None:
                 dt = min(dt, time.perf_counter() - t0)
             details[key] = round(lsize * iters / dt / 1e6, 2)
 
+        # per-stage roofline (VERDICT r3: bytes + FLOPs for scan/refine/
+        # demod against the hardware peaks, not just the aggregate). The
+        # long-frame kernel is the demod stage in isolation (no per-frame
+        # scan), so its measured rate positions that stage; scan/refine are
+        # positioned at the full-pipeline rate from the main roofline block.
+        rl = details.get("roofline")
+        if rl:
+            nfft, nact, nsym_len = np_prof.fft_size, np_prof.num_active_subs, np_prof.symbol_len
+            k_msps = details["long_frame_kernel_msps"]
+            demod_mxu_fs = 3 * 2 * nfft * 2 * nact / nsym_len  # dot_bf16x3 DFT per symbol
+            demod_bytes = 4.0 + narrow.bits_per_symbol / 8 / nsym_len
+            mxu_peak = rl["assumed_peaks"]["mxu_bf16_tflops"] * 1e12
+            hbm_peak = rl["assumed_peaks"]["hbm_gbps"] * 1e9
+            vpu_peak = rl["assumed_peaks"]["vpu_f32_tflops"] * 1e12
+            full_msps = details.get("batch4096_full_pipeline_msps", 0)
+            rl["per_stage"] = {
+                "scan (strided autocorr, VPU)": {
+                    "at_msps": full_msps,
+                    "bytes_per_sample": 4.0,
+                    "vpu_flops_per_sample": rl["vpu_flops_per_sample"],
+                    "pct_of_vpu": round(
+                        100 * rl["vpu_flops_per_sample"] * full_msps * 1e6 / vpu_peak, 1
+                    ),
+                    "pct_of_hbm": round(100 * 4.0 * full_msps * 1e6 / hbm_peak, 1),
+                },
+                "refine (block-Toeplitz xcorr, MXU)": {
+                    "mxu_flops_per_frame": 3 * 2 * (6 * p.cp_len) * (p.fft_size // 2),
+                    "note": "once per detected frame; amortized over the "
+                    f"~{framing.estimate_frame_samples(chunk_size + 11, mode)}-sample "
+                    "cadence it is <0.1% of either peak",
+                },
+                "demod (streaming DFT kernel, MXU)": {
+                    "at_msps": k_msps,
+                    "bytes_per_sample": round(demod_bytes, 2),
+                    "mxu_flops_per_sample": round(demod_mxu_fs, 1),
+                    "pct_of_mxu": round(100 * demod_mxu_fs * k_msps * 1e6 / mxu_peak, 1),
+                    "pct_of_hbm": round(100 * demod_bytes * k_msps * 1e6 / hbm_peak, 1),
+                },
+            }
+
     # ---- STANDARD-profile long frame (lane-misaligned sym=576) A/B ----
     # VERDICT r3 item 4: the flat kernel now covers sym=576 via an XLA
     # body-extraction prologue; measure it against plain XLA on a >330k
@@ -479,7 +519,10 @@ def main() -> None:
     @stage("long_frame_standard", 200.0)
     def _():
         from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
-        from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
+        from audio_modem_tpu.parallel.batch import (
+            _batch_decode_chunk_frames_xla,
+            batch_decode_chunk_frames,
+        )
 
         nsym_s = framing.num_symbols_for_payload(32768 + 11, mode)
         one = framing.build_data_chunk_frame(rng.bytes(32768), 0, mode)
@@ -488,9 +531,13 @@ def main() -> None:
         sframes += 0.02 * rng.standard_normal(sframes.shape).astype(np.float32)
         sdev = jax.block_until_ready(jnp.tile(jax.device_put(jnp.asarray(sframes)), (8, 1)))
         ssize = sdev.size
+        sprod = jax.jit(lambda f: batch_decode_chunk_frames(f, mode, nsym_s))
         for key, fn in (
             ("long_std_kernel_msps", lambda: decode_chunks_fused_stream(sdev, mode, nsym_s)),
             ("long_std_xla_msps", lambda: _batch_decode_chunk_frames_xla(sdev, mode, nsym_s)),
+            # product routing must match the measured winner (XLA for the
+            # lane-misaligned standard profile; see parallel/batch.py)
+            ("long_std_dispatch_msps", lambda: sprod(sdev)),
         ):
             jax.block_until_ready(fn())
             _ = np.asarray(fn()[:2, :8])
@@ -604,18 +651,21 @@ def main() -> None:
         details["h2d_bandwidth_mbps"] = round(bw, 1)
         # tunnel D2H bandwidth: the hard cap on fetching decoded payload.
         # Two sizes subtract the fixed ~28 ms round-trip from the estimate.
-        def t_d2h(arr) -> float:
+        # Every rep converts a FRESH device array: jax.Array caches the host
+        # copy after the first np.asarray, so re-converting the same array
+        # times a host-memory read (measured "2.4 TB/s" before this fix).
+        def t_d2h(n: int) -> float:
             best = 1e9
-            for _ in range(3):
+            for i in range(3):
+                arr = jax.block_until_ready(jnp.full(n, i, jnp.uint8))
                 t0 = time.perf_counter()
                 _ = np.asarray(arr)
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        small = jax.block_until_ready(jnp.zeros(1 << 18, jnp.uint8))   # 256 KB
-        big = jax.block_until_ready(jnp.zeros(1 << 22, jnp.uint8))     # 4 MB
-        _ = np.asarray(small)  # warm
-        d2h = (big.size - small.size) / max(t_d2h(big) - t_d2h(small), 1e-9) / 1e6
+        _ = np.asarray(jax.block_until_ready(jnp.zeros(1 << 10, jnp.uint8)))  # warm
+        small_n, big_n = 1 << 18, 1 << 22  # 256 KB, 4 MB
+        d2h = (big_n - small_n) / max(t_d2h(big_n) - t_d2h(small_n), 1e-9) / 1e6
         details["d2h_bandwidth_mbps"] = round(d2h, 1)
         # decoded-payload bytes fetched per sample covered: each round slot
         # returns 5 + wire-payload packed uint8 per cadence worth of samples
