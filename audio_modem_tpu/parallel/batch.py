@@ -22,6 +22,18 @@ from audio_modem_tpu.configs import ModemMode
 from audio_modem_tpu.channel import awgn
 
 
+def stream_kernel_preferred(mode: ModemMode) -> bool:
+    """Measured-winner routing for past-VMEM long chunk frames.
+
+    BENCH r4 long-frame A/B: for lane-aligned symbols (acoustic 640,
+    narrowband 768) the gridded streaming kernel wins ~1.35x over XLA; the
+    lane-misaligned standard profile (576) needs a body-extraction prologue
+    whose extra HBM round-trip loses ~10% to plain XLA (4475 vs 4710 Msps,
+    docs/bench_r4_local.json long_std_*), so standard long frames take the
+    XLA path."""
+    return jax.default_backend() == "tpu" and mode.profile.symbol_len % 128 == 0
+
+
 def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     """Frame-aligned batch decode: [B, 3*sym + n_sym*sym] -> bits [B, n_bits].
 
@@ -41,15 +53,10 @@ def batch_decode_chunk_frames(frames: jnp.ndarray, mode: ModemMode, n_sym: int) 
 
         if fused_chunks_fits(frames.shape[-1], mode, n_sym):
             return decode_chunks_fused(frames, mode, n_sym)
-        if jax.default_backend() == "tpu" and mode.profile.symbol_len % 128 == 0:
+        if stream_kernel_preferred(mode):
             # past the VMEM-resident gate: the gridded streaming kernel
-            # (double-buffered HBM DMA, frame length unbounded). Routed by
-            # measured winner per profile (BENCH r4 long-frame A/B):
-            # lane-aligned symbols (acoustic 640, narrowband 768) the kernel
-            # wins ~1.35x over XLA; the lane-misaligned standard profile
-            # (576) needs a body-extraction prologue whose extra HBM
-            # round-trip loses ~10% to plain XLA (4342 vs 4758 Msps), so
-            # standard long frames take the XLA path below.
+            # (double-buffered HBM DMA, frame length unbounded), where the
+            # A/B shows it beats XLA — see stream_kernel_preferred.
             return decode_chunks_fused_stream(frames, mode, n_sym)
     return _batch_decode_chunk_frames_xla(frames, mode, n_sym)
 

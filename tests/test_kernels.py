@@ -128,6 +128,22 @@ class TestFusedReceive:
         out = batch.batch_decode_signals(long, n_valid, narrow, max_syms)
         assert np.asarray(out["detected"]).all()
 
+    def test_stream_kernel_routing_per_profile(self, monkeypatch):
+        """Past-VMEM long chunk frames route by measured winner per profile
+        (BENCH r4 A/B): lane-aligned symbols take the streaming kernel on
+        TPU, the lane-misaligned standard profile (sym=576) takes XLA, and
+        every profile takes XLA off-TPU."""
+        import jax
+
+        from audio_modem_tpu.parallel.batch import stream_kernel_preferred
+
+        assert not stream_kernel_preferred(MODES["QPSK"])  # CPU backend here
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert stream_kernel_preferred(MODES["BPSK-ACOUSTIC"])  # sym 640
+        assert stream_kernel_preferred(MODES["BPSK-NARROW"])    # sym 768
+        for name in ("QPSK", "16-QAM", "64-QAM"):               # sym 576
+            assert not stream_kernel_preferred(MODES[name])
+
     def test_bit_packing_roundtrip(self):
         """The 16-bit pack matrices invert exactly through the unpack
         epilogue for every constellation geometry."""
