@@ -634,7 +634,11 @@ def _chunk_kernel(
     jax.lax.fori_loop(0, n_groups, demod_group, 0)
 
 
-_STREAM_SUBGROUPS = 4  # symbol groups per grid step (amortizes fixed cost)
+# Symbol groups per grid step: amortizes fixed per-step cost (DMA setup,
+# scratch gate, epilogue) against VMEM pressure. Swept on hardware
+# (tools/sweep_stream_subgroups.py, batch-64 461k-sample narrowband): 4 is
+# the measured optimum — 8159 Msps vs 7858 (2) / 7525 (8) / 7488 (16).
+_STREAM_SUBGROUPS = 4
 
 
 def _chunk_stream_flat_kernel(
