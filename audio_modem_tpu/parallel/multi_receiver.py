@@ -889,9 +889,11 @@ class BatchReceiver:
                 else:
                     s.defer_total = next_round_end - 1
         for i in active:
-            # flush deferred fast-path sqlite stores once per round (no-op
-            # for in-memory assemblers); per-chunk commits measured ~112 us
-            # each and dominated persistent-store soak consume
+            # round-boundary commit hook: the assembler buffers fast-path
+            # rows host-side and only lands an executemany+commit batch once
+            # _FLUSH_ROWS accumulate (per-chunk execute + per-round commits
+            # measured ~97 us/chunk at 500 MB soak volume vs ~33 batched);
+            # no-op for in-memory assemblers
             self.streams[i].assembler.commit()
         return rerun
 

@@ -28,7 +28,7 @@ class ChunkAssembler:
         self._bitmap: np.ndarray | None = None
         self._mem: dict[int, bytes] = {}
         self._db: sqlite3.Connection | None = None
-        self._dirty = False
+        self._pending: list[tuple[int, bytes]] = []
         self._resume = resume
         if persist_path is not None:
             self._db = sqlite3.connect(persist_path)
@@ -38,6 +38,13 @@ class ChunkAssembler:
             # and ~20x faster per-chunk stores at 500 MB-soak scale.
             self._db.execute("PRAGMA journal_mode=WAL")
             self._db.execute("PRAGMA synchronous=NORMAL")
+            # No mid-stream checkpoints: with the default autocheckpoint,
+            # every ~4 MB of stored chunks forces a WAL->db copy INSIDE the
+            # streaming loop (measured 40 vs 11 us/chunk at 500 MB soak
+            # volume). Checkpoints instead run at transfer boundaries
+            # (handle_metadata) and cleanup(), so the WAL holds at most one
+            # transfer's volume of pages — the same disk the chunks occupy.
+            self._db.execute("PRAGMA wal_autocheckpoint=0")
             self._db.execute(
                 "CREATE TABLE IF NOT EXISTS chunks (seq INTEGER PRIMARY KEY, data BLOB)"
             )
@@ -73,8 +80,12 @@ class ChunkAssembler:
             if same:
                 self._rebuild_bitmap_from_db()
             else:
+                self._pending.clear()  # buffered rows belong to the old transfer
                 self._db.execute("DELETE FROM chunks")
             self._save_meta()
+            # transfer boundary: fold the previous transfer's WAL back into
+            # the db while the stream is idle (autocheckpoint is off)
+            self._db.execute("PRAGMA wal_checkpoint(TRUNCATE)")
         else:
             self._mem.clear()
 
@@ -134,29 +145,39 @@ class ChunkAssembler:
         materialize when the chunk is newly stored (duplicates/overruns skip
         the copy).
 
-        Durability is deferred: the INSERT lands in the open transaction and
-        the caller commits once per decode round (``commit()``) — per-chunk
-        commits measured ~112 us each and dominated the 50 MB soak's host
-        consume. Reads within this connection see uncommitted rows, so
-        assemble()/missing_chunks() stay exact; a crash loses at most one
-        round of chunks, which resume re-reports as missing."""
+        Durability is deferred: rows buffer on the host and land in sqlite
+        as one executemany + commit per _FLUSH_ROWS batch (the per-round
+        ``commit()`` is a no-op until the buffer fills). Measured at 500 MB
+        soak scale: per-chunk execute + per-round commit cost ~97 us/chunk
+        (77% of the soak wall); batched executemany + ~512 KB transactions
+        run ~28 us/chunk at the same synchronous=NORMAL durability. Reads
+        flush the buffer first, so assemble()/_iter_chunks stay exact; a
+        crash loses at most _FLUSH_ROWS chunks per stream, which resume
+        re-reports as missing (same recovery story as the previous
+        one-round deferral, just a wider window)."""
         if self._bitmap is None or seq >= self.total_chunks or self._bitmap[seq]:
             return False
         self._bitmap[seq] = True
         self.received_count += 1
         blob = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
         if self._db is not None:
-            self._db.execute("INSERT OR REPLACE INTO chunks VALUES (?, ?)", (seq, blob))
-            self._dirty = True
+            self._pending.append((seq, blob))
         else:
             self._mem[seq] = blob
         return True
 
-    def commit(self) -> None:
-        """Flush deferred fast-path stores (one commit per decode round)."""
-        if self._db is not None and self._dirty:
+    _FLUSH_ROWS = 256  # pending fast-path rows per executemany+commit batch
+
+    def commit(self, force: bool = False) -> None:
+        """Flush deferred fast-path stores once enough buffered (or forced)."""
+        if self._db is not None and self._pending and (
+            force or len(self._pending) >= self._FLUSH_ROWS
+        ):
+            self._db.executemany(
+                "INSERT OR REPLACE INTO chunks VALUES (?, ?)", self._pending
+            )
+            self._pending.clear()
             self._db.commit()
-            self._dirty = False
 
     def is_received(self, seq: int) -> bool:
         return self._bitmap is not None and bool(self._bitmap[seq])
@@ -202,12 +223,14 @@ class ChunkAssembler:
 
     def _iter_chunks(self):
         if self._db is not None:
+            self.commit(force=True)  # buffered fast-path rows must be visible
             yield from self._db.execute("SELECT seq, data FROM chunks ORDER BY seq")
         else:
             yield from sorted(self._mem.items())
 
     def cleanup(self) -> None:
         if self._db is not None:
-            self.commit()
+            self.commit(force=True)
+            self._db.execute("PRAGMA wal_checkpoint(TRUNCATE)")
             self._db.close()
             self._db = None

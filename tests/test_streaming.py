@@ -87,6 +87,9 @@ class TestAssembler:
         assert not asm.store_valid_chunk(9, b"y" * 32)  # out of range
         assert asm.received_count == 1
         assert asm.missing_chunks() == [1, 2]  # uncommitted row still visible
+        # reads flush the host-side buffer first (rows batch until
+        # _FLUSH_ROWS accumulate, so a bare commit() is a no-op here)
+        assert asm.assemble()[:32] == b"x" * 32
         asm.commit()
         assert asm.store_valid_chunk(1, b"y" * 32)
         asm.cleanup()  # commits the tail store
