@@ -17,3 +17,29 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", _platform)
+
+import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "cpu_numerics: interpret-mode exact-equality vs a separately-jitted "
+        "XLA reference — holds on the CPU backend only (on TPU the two "
+        "programs fuse/round float32 dots differently, flipping bits that "
+        "sit on demap decision boundaries); the compiled Mosaic lowering "
+        "is verified on hardware by the axon smoke tests and bench A/Bs.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _platform == "cpu":
+        return
+    skip = pytest.mark.skip(
+        reason=f"cpu_numerics test skipped on platform={_platform} "
+        "(see marker description; hardware equality is covered by the "
+        "axon smoke tests + bench kernel-vs-XLA A/Bs)"
+    )
+    for item in items:
+        if "cpu_numerics" in item.keywords:
+            item.add_marker(skip)

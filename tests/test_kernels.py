@@ -2,6 +2,7 @@
 mode on CPU; the real lowering is exercised on TPU by bench.py)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from audio_modem_tpu import framing, sync
@@ -26,6 +27,7 @@ class TestFusedReceive:
         max_syms = max((signals.shape[1] - 3 * sym) // sym, 1)
         return jnp.asarray(signals), jnp.asarray(n_valid), max_syms
 
+    @pytest.mark.cpu_numerics
     def test_decode_fused_matches_xla_all_modes(self):
         from audio_modem_tpu.kernels.receive import decode_fused
         from audio_modem_tpu.parallel.batch import _batch_decode_signals_xla
@@ -43,6 +45,7 @@ class TestFusedReceive:
                 assert np.array_equal(np.asarray(ref[key]), np.asarray(out[key])), (name, key)
             assert np.abs(np.asarray(ref["fine_metric"]) - np.asarray(out["fine_metric"])).max() < 1e-5
 
+    @pytest.mark.cpu_numerics
     def test_decode_fused_channel_estimate(self):
         """ch_re/ch_im reassembled from the kernel's sectioned CE output
         match the XLA estimate on active bins."""
@@ -77,6 +80,7 @@ class TestFusedReceive:
         out = decode_fused(signals, n_valid, jnp.zeros(2, jnp.int32), mode, 4, interpret=True)
         assert not np.asarray(out["detected"]).any()
 
+    @pytest.mark.cpu_numerics
     def test_decode_chunks_fused_matches_xla_all_modes(self):
         from audio_modem_tpu.kernels.receive import decode_chunks_fused
         from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
@@ -174,6 +178,7 @@ class TestStreamingKernels:
     decision-identical to the XLA path, including on frames far past the
     resident kernel's VMEM gate."""
 
+    @pytest.mark.cpu_numerics
     def test_chunks_stream_matches_xla_all_modes(self):
         from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
         from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla

@@ -19,6 +19,11 @@ from audio_modem_tpu.parallel import (
 from audio_modem_tpu.parallel.batch import pad_signals
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-virtual-device CPU mesh (conftest default); a real "
+    "single-chip backend has 1 device by construction",
+)
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
