@@ -38,6 +38,7 @@ class StageTimer:
     def __init__(self) -> None:
         self.seconds: dict[str, float] = defaultdict(float)
         self.items: dict[str, int] = defaultdict(int)
+        self.calls: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
     def stage(self, name: str, samples: int = 0):
@@ -47,6 +48,7 @@ class StageTimer:
         finally:
             self.seconds[name] += time.perf_counter() - t0
             self.items[name] += samples
+            self.calls[name] += 1
 
     def report(self) -> dict[str, dict[str, float]]:
         out = {}
@@ -54,6 +56,7 @@ class StageTimer:
             n = self.items[name]
             out[name] = {
                 "seconds": round(sec, 6),
+                "calls": self.calls[name],
                 "samples": n,
                 "msamples_per_sec": round(n / sec / 1e6, 3) if sec > 0 and n else 0.0,
             }
