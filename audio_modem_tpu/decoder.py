@@ -208,12 +208,14 @@ def _byte_erasures(evm: np.ndarray, mode: ModemMode, n_bytes: int) -> np.ndarray
 
 
 def _is_fec_failure(raw: bytes, result) -> bool:
-    return (
-        isinstance(result, FrameError)
-        and len(raw) > 0
-        and raw[0] == FRAME_FEC
-        and result.error.startswith("FEC decode failed")
-    )
+    """Did an FEC-wrapped payload fail to yield a valid frame?
+
+    Any failed parse of FEC-magic raw bytes qualifies — not just an explicit
+    RS decode error: a Reed-Solomon MIS-correction (noise within distance 16
+    of a wrong codeword) "succeeds" into garbage that then fails the inner
+    CRC or inner structural parse. All of these are worth the
+    errors-and-erasures retry, which doubles the correction radius."""
+    return len(raw) > 0 and raw[0] == FRAME_FEC and _parse_failed(result)
 
 
 def _fec_region_bytes(by: bytes) -> int:
@@ -405,7 +407,7 @@ def _decode_signal_once(
             flags = _byte_erasures(evm, mode, _fec_region_bytes(raw))
             if flags is not None:
                 retry = parse_payload_bytes(raw, min_len=10, erasures=flags)
-                if not isinstance(retry, FrameError):
+                if not _parse_failed(retry):
                     return retry, info
     return result, info
 
@@ -459,16 +461,18 @@ def decode_chunk_frame(frame: np.ndarray, mode: ModemMode) -> ParseResult:
         soft_result = parse_payload_bytes(soft_raw, min_len=6)
         if not _parse_failed(soft_result):
             return soft_result
-    if isinstance(result, FrameError) and result.error.startswith("FEC decode failed"):
+    if _parse_failed(result):
         b = np.asarray(bits)[: n_sym * mode.bits_per_symbol]
         if mode.repetition > 1:
             b = majority_vote(b, mode.repetition)
-        evm = np.asarray(_chunk_evm_core(frame_dev, mode, n_bucket))[:n_sym]
-        flags = _byte_erasures(evm, mode, _fec_region_bytes(bits_to_bytes(b)))
-        if flags is not None:
-            retry = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6, erasures=flags)
-            if not isinstance(retry, FrameError):
-                return retry
+        raw_by = bytes(bits_to_bytes(b))
+        if _is_fec_failure(raw_by, result):
+            evm = np.asarray(_chunk_evm_core(frame_dev, mode, n_bucket))[:n_sym]
+            flags = _byte_erasures(evm, mode, _fec_region_bytes(raw_by))
+            if flags is not None:
+                retry = _bits_to_parse(np.asarray(bits), n_sym, mode, min_len=6, erasures=flags)
+                if not _parse_failed(retry):
+                    return retry
     if _parse_failed(result):
         # timing-tracked retry: within-frame clock drift (reference
         # incapacity, modem.js:397-405) — last rung of the chunk ladder.

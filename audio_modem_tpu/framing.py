@@ -156,9 +156,16 @@ def parse_payload_bytes(
         if isinstance(res, FrameError):
             # 0xFD is our extension magic; a reference legacy frame whose
             # (truncated) name is exactly 253 bytes starts with the same
-            # byte — fall back to legacy parsing to stay reference-compatible
+            # byte — fall back to legacy parsing to stay reference-compatible.
+            # Only a CRC-validated legacy parse wins the tie: corrupted FEC
+            # bytes frequently parse *structurally* as a 253-char-name legacy
+            # frame (random dlen from noise), and returning that garbage
+            # frame would mask the FEC failure from the decoder's
+            # errors-and-erasures retry rung.
             legacy = parse_legacy(by)
-            return legacy if not isinstance(legacy, FrameError) else res
+            if not isinstance(legacy, FrameError) and legacy.crc_valid:
+                return legacy
+            return res
         return res
     if by[0] == FRAME_META:
         return parse_metadata(by)

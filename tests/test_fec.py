@@ -73,6 +73,41 @@ class TestFecFraming:
         assert res.fec_corrected == 4
 
 
+class TestFecMisparseMasking:
+    """A corrupted FEC frame must surface as an FEC failure, never be masked
+    by the 0xFD legacy fallback structurally parsing noise. Regression: the
+    fallback used to accept any structural legacy parse (0xFD = name_len 253,
+    dlen read from corrupted bytes), returning a garbage crc-invalid
+    LegacyFrame that blocked decode_signal's errors-and-erasures retry rung."""
+
+    def test_fallback_requires_valid_crc(self):
+        rng = np.random.default_rng(23)
+        payload = framing.build_legacy_payload(rng.bytes(400), "m.bin")
+        wrapped = bytearray(framing.wrap_fec(payload))
+        for p in range(40, len(wrapped), 3):  # far beyond RS capacity
+            wrapped[p] ^= 0x7F
+        # make the legacy fallback parse *structurally*: dlen small, in-range
+        wrapped[254:258] = (10).to_bytes(4, "big")
+        res = framing.parse_payload_bytes(bytes(wrapped))
+        assert isinstance(res, framing.FrameError), res
+        assert res.error.startswith("FEC decode failed")
+
+    def test_is_fec_failure_covers_miscorrection(self):
+        """An RS mis-correction parses the inner payload but fails its CRC;
+        the decoder must still treat that as an FEC failure so the erasure
+        retry gets a chance."""
+        from audio_modem_tpu import decoder
+
+        raw = bytes([0xFD]) + b"\x00\x00\x00\x08" + b"x" * 16
+        garbage = framing.LegacyFrame("g", b"y", False, 1, 2)
+        assert decoder._is_fec_failure(raw, garbage)
+        assert decoder._is_fec_failure(raw, framing.FrameError("FEC decode failed: x"))
+        assert decoder._is_fec_failure(raw, framing.FrameError("Decoded data too short"))
+        ok = framing.LegacyFrame("g", b"y", True, 1, 1)
+        assert not decoder._is_fec_failure(raw, ok)
+        assert not decoder._is_fec_failure(b"\x00" + raw[1:], garbage)
+
+
 class TestFecEndToEnd:
     def test_legacy_fec_beats_crc_under_noise(self):
         """At an SNR causing scattered symbol errors, the plain frame fails
