@@ -52,6 +52,63 @@ class TestRsCodec:
         assert framing.fec_coded_len(224) == 224 + 64
         assert framing.fec_wire_len(100) == 5 + 132
 
+    def test_known_answer_literal_pin(self):
+        """Literal pin of the code itself (not just self-consistent
+        round-trips): field poly 0x11D, alpha=2, fcr=0, systematic
+        RS(255,223). Any change to the generator polynomial, table
+        construction, or vectorized remainder silently survives every
+        round-trip test in this file but breaks wire compatibility with
+        already-recorded FEC transmissions — this pin catches it.
+        Values generated once by ops/rs.py at the time of pinning and
+        cross-checked by the independent schoolbook encoder below."""
+        coded = bytes(rs.rs_encode(bytes(range(223))))
+        assert coded[:223] == bytes(range(223))  # systematic
+        assert coded[223:].hex() == (
+            "41841183b11fdb537421939696cda70e"
+            "1db5c86684af222564b89cc6069f172e"
+        )
+        short = bytes(rs.rs_encode(b"audio_modem_tpu"))  # shortened codeword
+        assert short.hex() == (
+            "617564696f5f6d6f64656d5f7470756de5688e01e15758405a3e7a53260248e6"
+            "243d7e4382e81a13d98d4cc984067b"
+        )
+
+    def test_matches_independent_schoolbook_encoder(self):
+        """Cross-check the vectorized numpy codec against a from-scratch
+        scalar GF(256) polynomial-division encoder implementing the same
+        declared convention (0x11D, alpha=2, fcr=0). Shared nothing with
+        ops/rs.py except the spec."""
+        exp, log = [0] * 512, [0] * 256
+        x = 1
+        for i in range(255):
+            exp[i] = x
+            log[x] = i
+            x <<= 1
+            if x & 0x100:
+                x ^= 0x11D
+        exp[255:510] = exp[:255]
+
+        def mul(a, b):
+            return 0 if 0 in (a, b) else exp[log[a] + log[b]]
+
+        gen = [1]
+        for i in range(32):  # g(x) = prod (x - alpha^i), fcr=0
+            gen = [
+                (gen[j] if j < len(gen) else 0) ^ mul(gen[j - 1] if j else 0, exp[i])
+                for j in range(len(gen) + 1)
+            ]
+        rng = np.random.default_rng(29)
+        for k in (223, 100, 1):  # full + shortened codewords
+            data = rng.bytes(k)
+            rem = [0] * 32
+            for byte in data:  # synthetic LFSR division
+                feedback = byte ^ rem[0]
+                rem = rem[1:] + [0]
+                if feedback:
+                    for j in range(32):
+                        rem[j] ^= mul(gen[j + 1], feedback)
+            assert bytes(rs.rs_encode(data)) == data + bytes(rem)
+
 
 class TestFecFraming:
     def test_wrap_parse_roundtrip(self):
