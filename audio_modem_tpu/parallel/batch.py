@@ -28,9 +28,9 @@ def stream_kernel_preferred(mode: ModemMode) -> bool:
     BENCH r4 long-frame A/B: for lane-aligned symbols (acoustic 640,
     narrowband 768) the gridded streaming kernel wins ~1.35x over XLA; the
     lane-misaligned standard profile (576) needs a body-extraction prologue
-    whose extra HBM round-trip loses ~10% to plain XLA (4475 vs 4710 Msps,
-    docs/bench_r4_local.json long_std_*), so standard long frames take the
-    XLA path."""
+    whose extra HBM round-trip loses ~5% to plain XLA (4333 vs 4582 Msps,
+    docs/bench_r4_local.json long_std_kernel_msps/long_std_xla_msps), so
+    standard long frames take the XLA path."""
     return jax.default_backend() == "tpu" and mode.profile.symbol_len % 128 == 0
 
 

@@ -683,9 +683,15 @@ class BatchReceiver:
                     self.mode, n_sym_frame, k, cadence, w,
                 ))
             else:
-                win = jnp.zeros((self.n, w), jnp.float32)
+                # host-fed dispatches are ALWAYS (n, scan_bucket) wide
+                # (_window_decode_all line ~1091 keeps windows at scan_bucket
+                # and discards _multi_params' w), so trace that exact shape —
+                # a (n, w) trace here would miss the jit cache at first use
+                # and re-pay the 20-100 s remote compile this exists to avoid
+                win = jnp.zeros((self.n, self.scan_bucket), jnp.float32)
                 jax.block_until_ready(_batch_window_decode_multi(
-                    win, zeros, ones * w, self.mode, n_sym_frame, k, cadence,
+                    win, zeros, ones * self.scan_bucket, self.mode,
+                    n_sym_frame, k, cadence,
                 ))
             n_built += 2 if self.device_ingest else 1
             k //= 2

@@ -66,8 +66,21 @@ class TestBatchReceiver:
         _feed_batch(rx, [sig, sig])
         for r in rx.results():
             assert r["complete"] and r["data"] == data
-        host = BatchReceiver(mode, 2, window_decode=True)
-        assert host.precompile() >= 1
+        # the host (non-device_ingest) runtime always dispatches
+        # (n, scan_bucket)-wide windows; precompile must trace that exact
+        # shape or the first real dispatch re-pays the remote compile it
+        # exists to avoid (advisor r4 finding). Assert an actual cache hit:
+        # a real transfer after precompile() adds ZERO new multi programs.
+        from audio_modem_tpu.parallel import multi_receiver as mr
+
+        host = BatchReceiver(mode, 2, scan_bucket=65536, window_decode=True)
+        assert host.precompile() >= 2  # >=1 multi bucket + the scan program
+        before = mr._batch_window_decode_multi._cache_size()
+        assert before >= 1
+        _feed_batch(host, [sig, sig], block=32768)
+        for r in host.results():
+            assert r["complete"] and r["data"] == data
+        assert mr._batch_window_decode_multi._cache_size() == before
 
     def test_matches_single_stream_receiver(self):
         from audio_modem_tpu.runtime.receiver import StreamingReceiver

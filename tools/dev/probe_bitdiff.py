@@ -1,4 +1,8 @@
-"""Diagnose kernel-vs-XLA bit differences under noise on hardware."""
+"""Round-4 dev probe: proved kernel-vs-XLA bit differences under noise were
+sub-LSB soft-metric ties, not a kernel bug (decision-identical routing tests).
+
+Diagnose kernel-vs-XLA bit differences under noise on hardware.
+"""
 import time
 
 import numpy as np

@@ -1,4 +1,7 @@
-"""Steady-state BatchReceiver probe: whole-runtime Msps vs pipeline depth.
+"""Round-4 dev probe: whole-runtime Msps vs pipeline depth; motivated the
+speculative fetch pipeline (pipeline_depth=8 default) and the consume fast path.
+
+Steady-state BatchReceiver probe: whole-runtime Msps vs pipeline depth.
 
 Mirrors bench.py's device-ingest steady-state stage with knobs, to measure
 where the wall goes (dispatch / fetch / consume) after the vectorized

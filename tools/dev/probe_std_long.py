@@ -1,4 +1,7 @@
-"""Hardware A/B: standard-profile (sym=576) long-frame streaming kernel vs XLA.
+"""Round-4 dev probe: standard-profile (sym=576) long-frame kernel-vs-XLA A/B
+that set the measured-winner routing in parallel/batch.py (XLA wins ~5-10%).
+
+Hardware A/B: standard-profile (sym=576) long-frame streaming kernel vs XLA.
 
 The flat kernel now handles lane-misaligned profiles via an XLA
 body-extraction prologue (kernels/receive.py:_stream_demod_words); this

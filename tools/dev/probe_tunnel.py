@@ -1,4 +1,7 @@
-"""Tunnel/TPU microprobes guiding the round-4 perf work.
+"""Round-4 dev probe: tunnel D2H size/RTT/async-overlap measurements behind the
+d2h_bound analysis in BENCH_r04 and the one-packed-matrix-per-round design.
+
+Tunnel/TPU microprobes guiding the round-4 perf work.
 
 Answers, on the real chip:
   1. D2H cost vs size: is the speculative-round fetch RTT-bound or

@@ -1,4 +1,8 @@
-"""TX synthesis throughput after the closed-form map_bits fix."""
+"""Round-4 dev probe: measured TX synthesis throughput after the closed-form
+map_bits fix (fed the r4 TX-at-4096 figure, docs/bench_r4_local.json).
+
+TX synthesis throughput after the closed-form map_bits fix.
+"""
 import time
 import numpy as np
 import jax

@@ -1,3 +1,5 @@
+"""Round-4 dev probe: TX stage cost attribution at batch 4096 (bit-unpack vs
+IFFT contraction vs CP fold) behind the 7.3 Gsps TX figure in docs/bench_r4_local.json."""
 import time
 import numpy as np
 import jax

@@ -1,6 +1,9 @@
-"""Experiment: BatchReceiver device-ingest throughput vs frames_per_round.
+"""Round-4 dev probe: frames_per_round sweep that chose the K=8 turbo default.
 
-Usage: python _exp_turbo.py FPR [N_CHUNKS]"""
+Experiment: BatchReceiver device-ingest throughput vs frames_per_round.
+
+Usage: python _exp_turbo.py FPR [N_CHUNKS]
+"""
 import sys, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -17,6 +17,10 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 import jax
+
+# sitecustomize force-selects the axon platform; flip to CPU the way
+# tests/conftest.py does (env vars alone don't stick in this image)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
@@ -62,8 +66,8 @@ def main() -> int:
         print(f"warm pass: {got}/{n*n_chunks} chunks", file=sys.stderr)
         rx.cleanup()
 
-        rx = BatchReceiver(mode, n, persist_dir=td + "/x", scan_bucket=block, device_ingest=True)
         os.makedirs(td + "/x", exist_ok=True)
+        rx = BatchReceiver(mode, n, persist_dir=td + "/x", scan_bucket=block, device_ingest=True)
         prof = cProfile.Profile()
         t0 = time.perf_counter()
         prof.enable()
