@@ -201,7 +201,15 @@ def cmd_listen(args) -> int:
     from audio_modem_tpu import framing
     from audio_modem_tpu.runtime.ingest import listen
 
-    stream = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    if args.device is not None:
+        # real microphone capture (getUserMedia analog, app.js:349-417):
+        # sounddevice/ALSA/path backend presenting the same binary stream
+        from audio_modem_tpu.runtime import audiodev
+
+        stream = audiodev.open_capture(args.device, block=args.block)
+        args.pcm = "f32"  # device backends are float32 end to end
+    else:
+        stream = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
 
     def stats_line(stats, samples, meter):
         bar = "#" * min(int(meter.rms * 40), 20)
@@ -230,6 +238,9 @@ def cmd_listen(args) -> int:
     finally:
         if stream is not sys.stdin.buffer:
             stream.close()
+            proc = getattr(stream, "_amt_proc", None)
+            if proc is not None:  # ALSA subprocess backend
+                proc.terminate()
     print("", file=sys.stderr)
     res = report.result
     if isinstance(res, framing.FrameError):
@@ -252,7 +263,17 @@ def cmd_play(args) -> int:
     from audio_modem_tpu.runtime.ingest import play
 
     data = Path(args.input).read_bytes()
-    stream = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    if args.device is not None:
+        # real speaker playback (AudioContext analog, app.js:305-316): the
+        # device clocks the samples itself, so host pacing is disabled
+        from audio_modem_tpu.runtime import audiodev
+
+        stream = audiodev.open_playback(args.device)
+        args.pcm = "f32"  # device backends are float32 end to end
+        speed = 0.0
+    else:
+        stream = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+        speed = 0.0 if args.no_pace else args.speed
 
     def on_frame(seq, total):
         print(f"\r[play] frame {seq + 1}/{total}", end="", file=sys.stderr, flush=True)
@@ -264,7 +285,7 @@ def cmd_play(args) -> int:
             args.mode,
             Path(args.input).name,
             fmt=args.pcm,
-            speed=0.0 if args.no_pace else args.speed,
+            speed=speed,
             fec=args.fec,
             chunked=not args.legacy,
             on_frame=on_frame,
@@ -272,6 +293,9 @@ def cmd_play(args) -> int:
     finally:
         if stream is not sys.stdout.buffer:
             stream.close()
+            proc = getattr(stream, "_amt_proc", None)
+            if proc is not None:  # ALSA subprocess backend: let aplay drain
+                proc.wait(timeout=30)
     print(f"\nplayed {written} samples ({written/44100:.2f}s)", file=sys.stderr)
     return 0
 
@@ -343,22 +367,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.set_defaults(fn=cmd_sweep)
 
-    p = sub.add_parser("listen", help="live receive from a PCM stream (pipe/stdin)")
-    p.add_argument("input", help="PCM source path, or - for stdin")
+    p = sub.add_parser("listen", help="live receive from a PCM stream (pipe/stdin) or microphone")
+    p.add_argument("input", nargs="?", default="-", help="PCM source path, or - for stdin")
     p.add_argument("-o", "--output"); _add_mode(p)
     p.add_argument("--pcm", choices=("f32", "s16"), default="f32")
     p.add_argument("--block", type=int, default=4096)
     p.add_argument("--state", help="sqlite path for crash-resumable chunk store")
     p.add_argument("--resume", action="store_true", help="resume from --state")
+    p.add_argument("--device", help="capture from an audio device instead of a "
+                   "stream: 'auto', 'sd:<name>', 'alsa:<dev>', or a FIFO/device path")
     p.set_defaults(fn=cmd_listen)
 
-    p = sub.add_parser("play", help="paced transmit: file -> PCM stream at audio rate")
+    p = sub.add_parser("play", help="paced transmit: file -> PCM stream at audio rate, or speaker")
     p.add_argument("input")
-    p.add_argument("output", help="PCM sink path, or - for stdout")
+    p.add_argument("output", nargs="?", default="-", help="PCM sink path, or - for stdout")
     _add_mode(p)
     p.add_argument("--pcm", choices=("f32", "s16"), default="f32")
     p.add_argument("--speed", type=float, default=1.0, help="pacing multiple of real time")
     p.add_argument("--no-pace", action="store_true", help="write at full throughput")
+    p.add_argument("--device", help="play to an audio device instead of a stream: "
+                   "'auto', 'sd:<name>', 'alsa:<dev>', or a FIFO/device path")
     p.add_argument("--legacy", action="store_true",
                    help="size-routed framing (small files -> one legacy frame; "
                         "not decodable by listen)")

@@ -161,7 +161,12 @@ def parse_payload_bytes(
             # bytes frequently parse *structurally* as a 253-char-name legacy
             # frame (random dlen from noise), and returning that garbage
             # frame would mask the FEC failure from the decoder's
-            # errors-and-erasures retry rung.
+            # errors-and-erasures retry rung. Accepted tradeoff (advisor
+            # r4): a GENUINE reference legacy frame with a 253-byte name
+            # that arrives with a CRC error is reported as this FEC
+            # FrameError rather than a crc-invalid LegacyFrame — both are
+            # failures and the retry ladder treats them identically; only
+            # the crc_errors stat's attribution shifts for that rare shape.
             legacy = parse_legacy(by)
             if not isinstance(legacy, FrameError) and legacy.crc_valid:
                 return legacy

@@ -745,13 +745,14 @@ class BatchReceiver:
         # the steady-state common case instead of building bytes + parse +
         # DataFrame per slot (VERDICT r3 item 1: host consume was the
         # largest non-tunnel cost in the whole-runtime stage breakdown)
-        det_all, start_all, by_all = _unpack_round(packed)
-        full_all = seq_all = None
-        cs0 = self.streams[active[0]].assembler.chunk_size if active else 0
-        if not self.fec and cs0:
-            cls = _classify_round(packed, cs0)
-            if cls is not None:
-                _, _, full_all, seq_all = cls
+        with self.timer.stage("consume_classify"):  # sub-stage of multi_consume
+            det_all, start_all, by_all = _unpack_round(packed)
+            full_all = seq_all = None
+            cs0 = self.streams[active[0]].assembler.chunk_size if active else 0
+            if not self.fec and cs0:
+                cls = _classify_round(packed, cs0)
+                if cls is not None:
+                    _, _, full_all, seq_all = cls
         for i in active:
             s = self.streams[i]
             if spec and spec_gens[i] != s.gen:
@@ -894,13 +895,14 @@ class BatchReceiver:
                     rerun = True
                 else:
                     s.defer_total = next_round_end - 1
-        for i in active:
-            # round-boundary commit hook: the assembler buffers fast-path
-            # rows host-side and only lands an executemany+commit batch once
-            # _FLUSH_ROWS accumulate (per-chunk execute + per-round commits
-            # measured ~97 us/chunk at 500 MB soak volume vs ~33 batched);
-            # no-op for in-memory assemblers
-            self.streams[i].assembler.commit()
+        with self.timer.stage("consume_commit"):  # sub-stage of multi_consume
+            for i in active:
+                # round-boundary commit hook: the assembler buffers fast-path
+                # rows host-side and only lands an executemany+commit batch once
+                # _FLUSH_ROWS accumulate (per-chunk execute + per-round commits
+                # measured ~97 us/chunk at 500 MB soak volume vs ~33 batched);
+                # no-op for in-memory assemblers
+                self.streams[i].assembler.commit()
         return rerun
 
     def _drain_pending(self, drain_all: bool = False) -> None:

@@ -37,16 +37,22 @@ class StageTimer:
 
     def __init__(self) -> None:
         self.seconds: dict[str, float] = defaultdict(float)
+        self.cpu_seconds: dict[str, float] = defaultdict(float)
         self.items: dict[str, int] = defaultdict(int)
         self.calls: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
     def stage(self, name: str, samples: int = 0):
         t0 = time.perf_counter()
+        c0 = time.process_time()
         try:
             yield
         finally:
             self.seconds[name] += time.perf_counter() - t0
+            # wall >> cpu for a stage means it BLOCKS (IO / GIL wait / device
+            # sync), not computes — the attribution that matters behind this
+            # image's tunnel, where a stray blocking fetch costs ~28 ms
+            self.cpu_seconds[name] += time.process_time() - c0
             self.items[name] += samples
             self.calls[name] += 1
 
@@ -56,6 +62,7 @@ class StageTimer:
             n = self.items[name]
             out[name] = {
                 "seconds": round(sec, 6),
+                "cpu_seconds": round(self.cpu_seconds[name], 6),
                 "calls": self.calls[name],
                 "samples": n,
                 "msamples_per_sec": round(n / sec / 1e6, 3) if sec > 0 and n else 0.0,

@@ -102,20 +102,90 @@ def main() -> None:
     parsed = parse_payload_bytes(bits_to_bytes(bits0))
     assert isinstance(parsed, DataFrame) and parsed.crc_valid, "bench payload corrupt"
 
-    log("timing full pipeline")
+    log("timing single-frame full pipeline (detail)")
     # best of 5 reps: the first pipelined loop after a fresh compile can
     # carry remote-relay/tunnel warmup latency (observed 2-3x slow), and
     # tunnel RTT jitter adds run-to-run variance on top
-    dt_full = 1e9
+    dt_1f = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = full(sig_dev, nv_dev)
         jax.block_until_ready(out)
+        dt_1f = min(dt_1f, time.perf_counter() - t0)
+    msps_1f = int(n_valid.sum()) * iters / dt_1f / 1e6
+    details["headline_1frame_msps"] = round(msps_1f, 2)
+    log(f"single-frame-per-dispatch (r1-r4 headline definition): {msps_1f:.1f} Msps")
+
+    # ---- OFFICIAL HEADLINE: steady-state K-frame turbo round ----
+    # One dispatch decodes K frames per stream (scan slot 0 + K-1 cadence-
+    # predicted refine+demods) — the runtime's actual sustained program
+    # (parallel/multi_receiver._batch_window_decode_multi, what BatchReceiver
+    # dispatches every steady-state round). The r1-r4 headline dispatched ONE
+    # frame per call (1.82 Msamples), so 81% of its recorded time was the
+    # ~3 ms tunnel-relay floor and the official record tracked relay weather,
+    # not the framework (487/506/517 across rounds with no code cause —
+    # VERDICT r4 weak #2). K=32 moves ~56 Msamples/call, amortizing the
+    # floor below 25% of the recorded time; the dispatch_floor stage records
+    # the measured fraction alongside.
+    from audio_modem_tpu.parallel.multi_receiver import (
+        _batch_window_decode_multi,
+        _classify_round,
+    )
+
+    K = 32
+    est_len = framing.estimate_frame_samples(chunk_size + 11, mode)
+    cadence = est_len + p.silence_pre_chunk(False) + p.silence_post_chunk()
+    margin = 4 * sym + p.fft_size + 2048  # _multi_params margin (2*half = fft)
+    w_turbo = -(-(K * cadence + margin) // 128) * 128
+    log(f"building {n_streams}x{K}-frame turbo windows (w={w_turbo})")
+    pls_turbo = np.frombuffer(
+        b"".join(
+            framing.build_data_chunk_payload(rng.bytes(chunk_size), s % K)
+            for s in range(n_streams * K)
+        ),
+        np.uint8,
+    ).reshape(n_streams * K, -1)
+    frames_turbo = framing._synth_frames_core(
+        jnp.asarray(pls_turbo), mode, n_payload_sym,
+        p.silence_pre_chunk(False), p.silence_post_chunk(),
+    ).reshape(n_streams, K * cadence)
+    win_turbo = jax.block_until_ready(
+        jnp.pad(frames_turbo, ((0, 0), (0, w_turbo - K * cadence)))
+    )
+    minp = jax.device_put(jnp.zeros(n_streams, jnp.int32))
+    nv_turbo = jax.device_put(jnp.full(n_streams, K * cadence, jnp.int32))
+    log("compiling K-frame turbo round")
+    packed = jax.block_until_ready(
+        _batch_window_decode_multi(
+            win_turbo, minp, nv_turbo, mode, n_payload_sym, K, cadence
+        )
+    )
+    cls = _classify_round(np.asarray(packed), chunk_size)
+    assert cls is not None, "turbo packed rows too narrow"
+    det_t, _, full_t, seq_t = cls
+    assert bool(det_t.all()), "turbo round: not all slots detected"
+    assert bool(full_t.all()), "turbo round: not all slots CRC-valid"
+    assert bool((seq_t == np.arange(K)[None, :]).all()), "turbo seq mismatch"
+
+    log("timing K-frame turbo rounds")
+    dt_full = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out_t = _batch_window_decode_multi(
+                win_turbo, minp, nv_turbo, mode, n_payload_sym, K, cadence
+            )
+        jax.block_until_ready(out_t)
         dt_full = min(dt_full, time.perf_counter() - t0)
-    total_samples = int(n_valid.sum()) * iters
+    # samples consumed per dispatch = K frame cadences per stream (the same
+    # accounting the runtime's pred_dispatch stage uses)
+    total_samples = K * cadence * n_streams * iters
     msps_full = total_samples / dt_full / 1e6
-    details["frames_per_sec"] = round(n_streams * iters / dt_full, 1)
+    details["headline_frames_per_dispatch"] = K
+    details["headline_samples_per_dispatch"] = K * cadence * n_streams
+    details["headline_percall_ms"] = round(dt_full / iters * 1e3, 3)
+    details["frames_per_sec"] = round(n_streams * K * iters / dt_full, 1)
     log(f"headline: {msps_full:.1f} Msps")
 
     def emit() -> None:
@@ -124,7 +194,7 @@ def main() -> None:
         if skipped:
             details["skipped_stages"] = skipped
         headline = {
-            "metric": "streaming demod Msamples/s/chip (64-stream QPSK, full pipeline)",
+            "metric": "streaming demod Msamples/s/chip (64-stream QPSK, 32-frame turbo rounds, full pipeline)",
             "value": round(msps_full, 2),
             "unit": "Msamples/s",
             "vs_baseline": round(msps_full / 44.1, 3),
@@ -199,12 +269,11 @@ def main() -> None:
         details["batch4096_realtime_streams"] = round(msps_4k * 1e6 / 44100.0, 0)
 
     # ---- dispatch-floor measurement + headline analysis ----
-    # The 64-stream headline has been flat across rounds while the device
-    # ceiling tripled (517 -> 506 -> ... vs 3.0 -> 6.0 Gsps at 512/4096
-    # batch): the per-call floor through the axon tunnel relay bounds it.
-    # Measure that floor directly with a trivial jitted op at the same
-    # pipeline depth, and record what the headline WOULD be at zero
-    # dispatch cost (the device-only number, from the 4096-batch stage).
+    # The r1-r4 single-frame headline was 81% tunnel-relay floor; the K=32
+    # turbo headline amortizes it. Measure the floor directly with a trivial
+    # jitted op at the same pipeline depth and record what fraction of the
+    # recorded per-call time it is — the official record should state what
+    # the framework does, not what the relay did that day (VERDICT r4 #2).
     @stage("dispatch_floor", 60.0)
     def _():
         tiny = jax.device_put(jnp.zeros((8, 128), jnp.float32))
@@ -229,15 +298,22 @@ def main() -> None:
         enq_ms = (time.perf_counter() - t0) / 100 * 1e3
         jax.block_until_ready(outs)
         details["local_dispatch_proxy_ms"] = round(enq_ms, 4)
-        block_samples = int(n_valid.sum())
+        block_samples = K * cadence * n_streams
+        percall_ms = details.get("headline_percall_ms", dt_full / iters * 1e3)
         details["headline_dispatch_bound_msps"] = round(block_samples / (floor_ms * 1e-3) / 1e6, 1)
+        details["headline_floor_fraction"] = round(floor_ms / percall_ms, 3)
         details["headline_analysis"] = (
-            "64-stream headline is dispatch-bound: one pipelined jit call costs "
-            f"~{floor_ms:.2f} ms through the axon tunnel relay regardless of work, "
-            f"capping a {block_samples}-sample block at "
-            f"~{block_samples / (floor_ms * 1e-3) / 1e6:.0f} Msps even at zero device time; "
-            "the device-bound ceiling is the batch4096 stage. A local (non-tunneled) "
-            "runtime dispatches in O(10us) and would sit at the device ceiling."
+            f"K={K} turbo headline: one pipelined jit call costs ~{floor_ms:.2f} ms "
+            "through the axon tunnel relay regardless of work; at "
+            f"{block_samples} samples/dispatch that floor bounds "
+            f"{block_samples / (floor_ms * 1e-3) / 1e6:.0f} Msps and is "
+            f"{100 * floor_ms / percall_ms:.0f}% of the recorded "
+            f"{percall_ms:.2f} ms/call — the headline now tracks the device, "
+            "not relay weather (the r1-r4 single-frame definition was 81% "
+            "floor; it is kept as headline_1frame_msps for cross-round "
+            "comparability). The device-bound ceiling is the batch4096 stage; "
+            "a local (non-tunneled) runtime dispatches in O(10us) and would "
+            "sit at it."
         )
 
     # ---- roofline / MFU accounting (VERDICT r3: position the ceiling
@@ -341,7 +417,23 @@ def main() -> None:
             outs = [one(s1, nv1) for _ in range(10)]
             jax.block_until_ready(outs)
             lats.append((time.perf_counter() - t0) / 10)
-        details["p50_detect_latency_ms"] = round(float(np.median(lats) * 1e3), 3)
+        p50 = float(np.median(lats) * 1e3)
+        details["p50_detect_latency_ms"] = round(p50, 3)
+        # Device-side p50: the tunneled figure is floor-dominated (r4: floor
+        # 3.008 of 3.485 ms = 86%), so it can only ever see relay-RTT
+        # regressions, never detection-path ones. Subtract the measured
+        # relay floor and add back the local enqueue cost — the per-call
+        # latency a non-tunneled runtime would observe (VERDICT r4 #3).
+        floor = details.get("dispatch_floor_ms")
+        if floor is not None:
+            dev_ms = max(p50 - floor + details.get("local_dispatch_proxy_ms", 0.0), 0.0)
+            details["p50_detect_latency_device_ms"] = round(dev_ms, 3)
+            details["detect_latency_note"] = (
+                f"tunneled p50 {p50:.3f} ms includes the {floor:.3f} ms relay "
+                "floor; p50_detect_latency_device_ms is the floor-adjusted "
+                "device-side estimate (use it to track detection-path "
+                "regressions)."
+            )
 
     # ---- frame-aligned demod only (post-sync path) ----
     @stage("frame_demod", 120.0)
@@ -636,10 +728,17 @@ def main() -> None:
         # subtracted (fetch stages move the DECODED PAYLOAD through the
         # axon tunnel at ~10-30 MB/s; on local PCIe/DMA at >10 GB/s the
         # same bytes cost ~nothing). Uses the LAST rep's wall to match the
-        # breakdown it subtracts from.
+        # breakdown it subtracts from. UPPER BOUND: pipelined rounds issue
+        # copy_to_host_async, so part of the fetch wall already overlaps
+        # device compute — subtracting all of it is optimistic (advisor r4).
         fetch_s = sum(v["seconds"] for k2, v in rep.items() if k2.endswith("_fetch"))
         details["batch_receiver_nonfetch_msps"] = round(
             n * len(sig2) / max(dt_rep - fetch_s, 1e-9) / 1e6, 2
+        )
+        details["batch_receiver_nonfetch_note"] = (
+            "upper bound for a non-tunneled deployment: subtracts the full "
+            "blocking-fetch wall, part of which was already overlapped by "
+            "copy_to_host_async during pipelined rounds"
         )
         # tunnel ingest bandwidth: the hard cap on any HOST-fed runtime here
         up = jax.device_put(jnp.asarray(blocks_list[0]))  # warm path

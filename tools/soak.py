@@ -37,6 +37,12 @@ def main() -> int:
     per_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 0.82
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     out_path = os.environ.get("AMT_SOAK_OUT", "docs/soak_r4.json")
+    # frames per turbo round: every round pays fixed costs (dispatch, pop,
+    # consume-round overhead) against ONE packed-result D2H whose BYTES are
+    # the decoded payload (irreducible); bigger K amortizes the fixed part.
+    # r5 measurement: the 500 MB soak is tunnel-D2H-throughput-bound
+    # (~30 MB/s regardless of batching — see pipe_fetch wall vs cpu).
+    fpr = int(os.environ.get("AMT_SOAK_FPR", "8"))
 
     import jax
 
@@ -122,7 +128,7 @@ def main() -> int:
     )
     wt = -(-wsig.shape[0] // block) * block
     wsig8 = jnp.tile(jnp.pad(wsig, (0, wt - wsig.shape[0]))[None, :], (n_sig, 1))
-    warm = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True)
+    warm = BatchReceiver(mode, n, scan_bucket=block, device_ingest=True, frames_per_round=fpr)
     n_prog = warm.precompile(chunk)  # every (k, window) bucket incl. k=4/2
     log(f"precompiled {n_prog} bucket programs")
     for j in range(wt // block):
@@ -132,7 +138,7 @@ def main() -> int:
     log("warmup done")
 
     with tempfile.TemporaryDirectory() as td:
-        rx = BatchReceiver(mode, n, persist_dir=td, scan_bucket=block, device_ingest=True)
+        rx = BatchReceiver(mode, n, persist_dir=td, scan_bucket=block, device_ingest=True, frames_per_round=fpr)
         t0 = time.perf_counter()
         n_blocks = t_pad // block
         for j in range(n_blocks):
@@ -159,6 +165,7 @@ def main() -> int:
             "chunks_per_stream": n_chunks,
             "mode": "QPSK",
             "assembler": "sqlite (persist_dir, WAL)",
+            "frames_per_round": fpr,
         },
         "wall_s": round(dt, 2),
         "sustained_msps": round(msps, 1),
