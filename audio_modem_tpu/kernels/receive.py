@@ -111,6 +111,28 @@ def _geometry(profile: OfdmProfile) -> dict:
 
 
 @lru_cache(maxsize=None)
+def _rx_sections_pair(profile: OfdmProfile) -> np.ndarray:
+    """[2*sym, 2*SECT] block-diagonal pair DFT: a lane-aligned 2-symbol
+    super-slot (standard profile: 2*576 = 1152 = 9 lanes) multiplies ONCE
+    against this matrix and yields BOTH symbols' sectioned spectra side by
+    side — rows 0:fft map symbol A's CP-stripped body to columns 0:SECT,
+    rows sym:sym+fft map symbol B's to columns SECT:2*SECT; CP rows are
+    zero. Trades ~2.25x extra MXU MACs (a ~7%-utilized resource, see the
+    bench roofline) for eliminating BOTH the XLA body-extraction prologue's
+    [B, n_slots*fft] HBM materialization (~8 B/sample extra traffic, the
+    measured reason the flat kernel lost ~5% to XLA on standard long
+    frames — VERDICT r4 item 5) and any in-kernel misaligned slice."""
+    rx = _rx_sections(profile)
+    fft = profile.fft_size
+    sym = profile.symbol_len
+    sect = rx.shape[1]
+    out = np.zeros((2 * sym, 2 * sect), np.float32)
+    out[:fft, :sect] = rx
+    out[sym : sym + fft, sect:] = rx
+    return out
+
+
+@lru_cache(maxsize=None)
 def _rx_sections(profile: OfdmProfile) -> np.ndarray:
     """[fft, 2*nd_pad + 2*np_pad] DFT matrix with 128-aligned column
     sections [d_re | d_im | p_re | p_im]; pad columns are zero."""
@@ -703,6 +725,55 @@ def _chunk_stream_flat_kernel(
     out_ref[...] = _eq_demap_pack(spec, *tiled, pack_ref[...], mode, nd_pad, np_pad)
 
 
+def _chunk_stream_pair_kernel(
+    data_ref, ch_ref, scale_ref, rx2_ref, pack_ref, out_ref, tiled_ref,
+    *, mode: ModemMode, n_all: int, slot: int,
+):
+    """Grid step of the PAIR-SLOT streaming demod kernel (lane-misaligned
+    symbols whose 2-symbol super-slot IS lane-aligned — standard profile
+    576 -> 1152). Identical structure to _chunk_stream_flat_kernel, but each
+    row holds TWO consecutive symbols and the single dot against the
+    block-diagonal _rx_sections_pair matrix produces both sectioned spectra
+    side by side; EQ+demap+pack runs once per half. No prologue, no
+    misaligned in-kernel slices: the raw frame region streams straight from
+    HBM exactly once, like the lane-aligned profiles."""
+    profile = mode.profile
+    g = _geometry(profile)
+    nd_pad, np_pad = g["nd_pad"], g["np_pad"]
+    sect = 2 * (nd_pad + np_pad)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _build_tiled():
+        hd_re, hd_im, hd_ok, hp_re, hp_im, hp_ok = _tiled_channel(
+            ch_ref[...], n_all, nd_pad, np_pad, stream_major=True
+        )
+        tiled_ref[:, :nd_pad] = hd_re
+        tiled_ref[:, nd_pad : 2 * nd_pad] = hd_im
+        tiled_ref[:, 2 * nd_pad : 2 * nd_pad + np_pad] = hp_re
+        tiled_ref[:, 2 * nd_pad + np_pad : sect] = hp_im
+        tiled_ref[:, sect : sect + nd_pad] = hd_ok.astype(jnp.float32)
+        tiled_ref[:, sect + nd_pad : sect + nd_pad + np_pad] = hp_ok.astype(jnp.float32)
+
+    tl = tiled_ref[...]
+    tiled = (
+        tl[:, :nd_pad],
+        tl[:, nd_pad : 2 * nd_pad],
+        tl[:, sect : sect + nd_pad] > 0.5,
+        tl[:, 2 * nd_pad : 2 * nd_pad + np_pad],
+        tl[:, 2 * nd_pad + np_pad : sect],
+        tl[:, sect + nd_pad : sect + nd_pad + np_pad] > 0.5,
+    )
+    smul = _tile_rows(scale_ref[...], n_all, stream_major=True)  # [8*n_all, 1]
+    body = data_ref[...].reshape(_ROWS * n_all, slot) * smul
+    spec2 = dot_bf16x3(body, rx2_ref[...])  # [R, 2*SECT]: symbol A | symbol B
+    out_ref[:, :_LANE] = _eq_demap_pack(
+        spec2[:, :sect], *tiled, pack_ref[...], mode, nd_pad, np_pad
+    )
+    out_ref[:, _LANE:] = _eq_demap_pack(
+        spec2[:, sect:], *tiled, pack_ref[...], mode, nd_pad, np_pad
+    )
+
+
 def _stream_demod_words(
     data: jnp.ndarray,
     ch: jnp.ndarray,
@@ -710,6 +781,7 @@ def _stream_demod_words(
     mode: ModemMode,
     n_sym: int,
     interpret: bool,
+    force_extract: bool = False,
 ) -> jnp.ndarray:
     """Run the gridded streaming demod kernel.
 
@@ -723,6 +795,10 @@ def _stream_demod_words(
     fft = profile.fft_size
     g = _geometry(profile)
     slot = sym
+    if sym % _LANE and (2 * sym) % _LANE == 0 and not force_extract:
+        # lane-misaligned symbol whose PAIR is aligned (standard 576 ->
+        # 1152): demod 2-symbol super-slots directly — no HBM prologue
+        return _stream_demod_words_pair(data, ch, scale, mode, n_sym, interpret)
     if sym % _LANE and fft % _LANE == 0:
         # Lane-misaligned symbol slots (standard profile: 576 = 4.5 lanes):
         # ONE XLA strided slice extracts the CP-stripped fft-length bodies,
@@ -799,6 +875,74 @@ def _stream_demod_words(
     )
 
 
+def _stream_demod_words_pair(
+    data: jnp.ndarray,
+    ch: jnp.ndarray,
+    scale: jnp.ndarray,
+    mode: ModemMode,
+    n_sym: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Pair-slot variant of the gridded streaming demod (see
+    _chunk_stream_pair_kernel): rows carry 2-symbol super-slots, the out
+    block is [R, 2*128]. Same contract as _stream_demod_words."""
+    profile = mode.profile
+    b = data.shape[0]
+    sym = profile.symbol_len
+    slot = 2 * sym
+    g = _geometry(profile)
+    n_pairs = -(-n_sym // 2)
+    g_pairs = min(8, n_pairs)  # 8 pairs x 8 streams = 64 rows/group
+    n_groups = -(-n_pairs // g_pairs)
+    sub_groups = min(_STREAM_SUBGROUPS, n_groups)
+    n_all = sub_groups * g_pairs
+    super_len = n_all * slot
+    n_super = -(-n_groups // sub_groups)
+    need = n_super * super_len
+    if data.shape[1] < need:
+        data = jnp.pad(data, ((0, 0), (0, need - data.shape[1])))
+    data = data[:, :need]
+    rx2 = jnp.asarray(_rx_sections_pair(profile))
+    pack = jnp.asarray(_pack_matrix(mode))
+    sect2 = rx2.shape[1]
+
+    data3 = data.reshape(b, n_super * n_all, slot)
+    kernel = pl.pallas_call(
+        partial(_chunk_stream_pair_kernel, mode=mode, n_all=n_all, slot=slot),
+        grid=(b // _ROWS, n_super),
+        in_specs=[
+            pl.BlockSpec((_ROWS, n_all, slot), lambda i, s: (i, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ch.shape[1]), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, 1), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rx2.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pack.shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROWS * n_all, 2 * _LANE), lambda i, s: (i * n_super + s, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            ((b // _ROWS) * n_super * _ROWS * n_all, 2 * _LANE), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS * n_all, 3 * (g["nd_pad"] + g["np_pad"])), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    wflat = kernel(data3.astype(jnp.float32), ch, scale, rx2, pack)
+    # stream-major pair rows -> symbol-major [B, syms*128]: pair k's A/B
+    # halves become symbols 2k, 2k+1
+    del sect2
+    return (
+        wflat.reshape(b // _ROWS, n_super, _ROWS, n_all, 2, _LANE)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(b, n_super * n_all * 2 * _LANE)
+    )
+
+
 def _words_to_bits(words: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarray:
     """Packed words [B, >= n_sym*128] -> hard bits [B, n_sym*bits_per_symbol]."""
     g = _geometry(mode.profile)
@@ -813,12 +957,13 @@ def _words_to_bits(words: jnp.ndarray, mode: ModemMode, n_sym: int) -> jnp.ndarr
     return bits.reshape(b, n_sym * nd * bps)
 
 
-@partial(jax.jit, static_argnames=("mode", "n_sym", "interpret"))
+@partial(jax.jit, static_argnames=("mode", "n_sym", "interpret", "force_extract"))
 def decode_chunks_fused_stream(
     frames: jnp.ndarray,
     mode: ModemMode,
     n_sym: int,
     interpret: bool = False,
+    force_extract: bool = False,
 ) -> jnp.ndarray:
     """Length-unbounded fused chunk decode: [B, >=(3+n_sym)*sym] frames ->
     hard bits [B, n_sym*bits_per_symbol] int8.
@@ -834,7 +979,7 @@ def decode_chunks_fused_stream(
     if b % _ROWS:
         pad = _ROWS - b % _ROWS
         return decode_chunks_fused_stream(
-            jnp.pad(frames, ((0, pad), (0, 0))), mode, n_sym, interpret
+            jnp.pad(frames, ((0, pad), (0, 0))), mode, n_sym, interpret, force_extract
         )[:b]
     sym = profile.symbol_len
     cp = profile.cp_len
@@ -849,7 +994,7 @@ def decode_chunks_fused_stream(
     body_ce = frames[:, 2 * sym + cp : 3 * sym] * scale
     ch = dot_bf16x3(body_ce, rx) * kn
     data = frames[:, 3 * sym + cp :]
-    words = _stream_demod_words(data, ch, scale, mode, n_sym, interpret)
+    words = _stream_demod_words(data, ch, scale, mode, n_sym, interpret, force_extract)
     return _words_to_bits(words, mode, n_sym)
 
 

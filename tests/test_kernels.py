@@ -102,6 +102,42 @@ class TestFusedReceive:
             out = np.asarray(decode_chunks_fused(frames, mode, n_sym, interpret=True))
             assert np.array_equal(ref, out), name
 
+    @pytest.mark.cpu_numerics
+    def test_stream_pair_kernel_matches_xla_and_extract(self):
+        """Standard profile (sym=576, lane-misaligned): the PAIR-SLOT
+        streaming kernel (2-symbol 1152-lane super-slots against the
+        block-diagonal _rx_sections_pair DFT, no HBM body-extraction
+        prologue) must be bit-identical to both the XLA reference and the
+        force_extract path it replaces. Odd n_sym exercises the half-empty
+        trailing pair."""
+        from audio_modem_tpu.kernels.receive import decode_chunks_fused_stream
+        from audio_modem_tpu.parallel.batch import _batch_decode_chunk_frames_xla
+
+        rng = np.random.default_rng(13)
+        mode = MODES["QPSK"]
+        p = mode.profile
+        sym = p.symbol_len
+        assert sym % 128 and (2 * sym) % 128 == 0  # the pair-path precondition
+        for size in (mode.chunk_size, 3 * mode.chunk_size // 2):
+            n_sym = framing.num_symbols_for_payload(size + 11, mode)
+            fr = []
+            for s in range(5):
+                f = framing.build_data_chunk_frame(rng.bytes(size), s, mode)
+                f = f[p.silence_pre_chunk(False):][: (3 + n_sym) * sym]
+                fr.append(f + 0.02 * rng.standard_normal(len(f)).astype(np.float32))
+            frames = jnp.asarray(np.stack(fr))
+            ref = np.asarray(_batch_decode_chunk_frames_xla(frames, mode, n_sym))
+            pair = np.asarray(
+                decode_chunks_fused_stream(frames, mode, n_sym, interpret=True)
+            )
+            ext = np.asarray(
+                decode_chunks_fused_stream(
+                    frames, mode, n_sym, interpret=True, force_extract=True
+                )
+            )
+            assert np.array_equal(ref, pair), (size, "pair vs xla")
+            assert np.array_equal(ref, ext), (size, "extract vs xla")
+
     def test_vmem_gate_routes_long_frames(self, monkeypatch):
         """fused_receive_fits rejects frames whose VMEM footprint would blow
         the Mosaic compile (observed: ~500k-sample narrowband frames); past
