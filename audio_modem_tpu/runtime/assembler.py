@@ -10,15 +10,84 @@ across process restarts — a true checkpoint/resume upgrade. In-memory mode
 
 from __future__ import annotations
 
+import queue
 import sqlite3
+import threading
 
 import numpy as np
 
 from audio_modem_tpu.framing import DataFrame, MetaFrame
 
 
+class AsyncBatchWriter:
+    """Background sqlite landing thread shared by many assemblers.
+
+    The 500 MB soak (docs/soak_r4_500mb.json) spent most of multi_consume's
+    wall in executemany+commit — disk IO serialized onto the decode thread.
+    sqlite3 releases the GIL during sqlite3_step, so moving the batch
+    landings to one daemon thread overlaps them with host-side consume
+    bookkeeping; a single FIFO queue + single thread preserves per-
+    connection batch order. Durability is unchanged (same WAL +
+    synchronous=NORMAL commits, just asynchronous); ``barrier()`` drains
+    the queue and re-raises any writer-side error — every read, DDL, or
+    main-thread use of a served connection calls it first, so
+    read-your-writes holds exactly as before.
+
+    The queue is bounded (default 256 batches ≈ 64 MB of pinned row views):
+    if the disk falls behind the decode, submit() blocks and the runtime
+    degrades gracefully to disk speed instead of growing host memory with
+    pinned packed-round matrices."""
+
+    _SQL = "INSERT OR REPLACE INTO chunks VALUES (?, ?)"
+
+    def __init__(self, max_batches: int = 256) -> None:
+        self._q: queue.Queue = queue.Queue(maxsize=max_batches)
+        self._err: BaseException | None = None
+        self._t = threading.Thread(
+            target=self._run, name="amt-sqlite-writer", daemon=True
+        )
+        self._t.start()
+
+    def submit(self, conn: sqlite3.Connection, rows: list) -> None:
+        self._q.put((conn, rows))
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                conn, rows = item
+                conn.executemany(self._SQL, rows)
+                conn.commit()
+            except BaseException as e:  # surfaced at the next barrier()
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def barrier(self) -> None:
+        """Wait for every submitted batch to land; raise any writer error."""
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self) -> None:
+        if self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 class ChunkAssembler:
-    def __init__(self, persist_path: str | None = None, resume: bool = False):
+    def __init__(
+        self,
+        persist_path: str | None = None,
+        resume: bool = False,
+        writer: AsyncBatchWriter | None = None,
+    ):
         self.total_chunks = 0
         self.total_file_size = 0
         self.chunk_size = 0
@@ -30,8 +99,14 @@ class ChunkAssembler:
         self._db: sqlite3.Connection | None = None
         self._pending: list[tuple[int, bytes]] = []
         self._resume = resume
+        self._writer = writer
         if persist_path is not None:
-            self._db = sqlite3.connect(persist_path)
+            # check_same_thread=False only when an AsyncBatchWriter serves
+            # this connection; the barrier discipline (below) guarantees the
+            # main thread never touches it while a batch is in flight
+            self._db = sqlite3.connect(
+                persist_path, check_same_thread=writer is None
+            )
             # WAL + synchronous=NORMAL: group commits become O(memcpy) —
             # crash-consistent (WAL replays or truncates atomically; NORMAL
             # can only lose the tail commit on power loss, never corrupt),
@@ -55,6 +130,12 @@ class ChunkAssembler:
             if resume:
                 self._load_meta()
 
+    def _barrier(self) -> None:
+        """Drain any in-flight async batches before the main thread reads,
+        runs DDL, or otherwise touches the connection."""
+        if self._writer is not None:
+            self._writer.barrier()
+
     # ---- metadata ----
 
     def handle_metadata(self, meta: MetaFrame) -> None:
@@ -77,6 +158,7 @@ class ChunkAssembler:
         self.received_count = 0
         self.crc_errors = 0
         if self._db is not None:
+            self._barrier()
             if same:
                 self._rebuild_bitmap_from_db()
             else:
@@ -130,10 +212,16 @@ class ChunkAssembler:
         self._bitmap[frame.seq_num] = True
         self.received_count += 1
         if self._db is not None:
-            self._db.execute(
-                "INSERT OR REPLACE INTO chunks VALUES (?, ?)", (frame.seq_num, frame.data)
-            )
-            self._db.commit()
+            if self._writer is not None:
+                # never touch the connection inline while an async batch may
+                # be in flight — defer through the same buffered-row path
+                self._pending.append((frame.seq_num, frame.data))
+            else:
+                self._db.execute(
+                    "INSERT OR REPLACE INTO chunks VALUES (?, ?)",
+                    (frame.seq_num, frame.data),
+                )
+                self._db.commit()
         else:
             self._mem[frame.seq_num] = frame.data
         return True
@@ -166,18 +254,53 @@ class ChunkAssembler:
             self._mem[seq] = blob
         return True
 
+    def store_valid_chunks(self, seqs, rows, off: int, size: int) -> int:
+        """Whole-round batch store (BatchReceiver's O(streams) consume fast
+        path): ``rows`` is the uint8 [K, n_bytes] decoded-byte matrix of one
+        turbo round, chunk k's payload at rows[k, off:off+size], all already
+        CRC-validated by the vectorized classify pre-pass. In sqlite mode the
+        buffered rows stay ZERO-COPY numpy views (sqlite binds any
+        C-contiguous buffer as a BLOB), pinning at most
+        _FLUSH_ROWS x row_bytes of packed round matrices per stream until
+        the async writer lands them; in-memory mode copies (views would pin
+        every round for the transfer's lifetime). Returns newly stored count."""
+        bm = self._bitmap
+        if bm is None:
+            return 0
+        total, stored = self.total_chunks, 0
+        db = self._db is not None
+        pend = self._pending
+        for k in range(len(seqs)):
+            q = int(seqs[k])
+            if q >= total or bm[q]:
+                continue
+            bm[q] = True
+            stored += 1
+            if db:
+                pend.append((q, rows[k, off : off + size]))
+            else:
+                self._mem[q] = rows[k, off : off + size].tobytes()
+        self.received_count += stored
+        return stored
+
     _FLUSH_ROWS = 256  # pending fast-path rows per executemany+commit batch
 
     def commit(self, force: bool = False) -> None:
-        """Flush deferred fast-path stores once enough buffered (or forced)."""
+        """Flush deferred fast-path stores once enough buffered (or forced).
+        With an AsyncBatchWriter the executemany+commit runs on the writer
+        thread (off the consume critical path); otherwise inline."""
         if self._db is not None and self._pending and (
             force or len(self._pending) >= self._FLUSH_ROWS
         ):
-            self._db.executemany(
-                "INSERT OR REPLACE INTO chunks VALUES (?, ?)", self._pending
-            )
-            self._pending.clear()
-            self._db.commit()
+            if self._writer is not None:
+                self._writer.submit(self._db, self._pending)
+                self._pending = []
+            else:
+                self._db.executemany(
+                    "INSERT OR REPLACE INTO chunks VALUES (?, ?)", self._pending
+                )
+                self._pending.clear()
+                self._db.commit()
 
     def is_received(self, seq: int) -> bool:
         return self._bitmap is not None and bool(self._bitmap[seq])
@@ -224,6 +347,7 @@ class ChunkAssembler:
     def _iter_chunks(self):
         if self._db is not None:
             self.commit(force=True)  # buffered fast-path rows must be visible
+            self._barrier()
             yield from self._db.execute("SELECT seq, data FROM chunks ORDER BY seq")
         else:
             yield from sorted(self._mem.items())
@@ -231,6 +355,7 @@ class ChunkAssembler:
     def cleanup(self) -> None:
         if self._db is not None:
             self.commit(force=True)
+            self._barrier()
             self._db.execute("PRAGMA wal_checkpoint(TRUNCATE)")
             self._db.close()
             self._db = None

@@ -447,3 +447,47 @@ class TestSpeculativePipeline:
             assert r["complete"], (i, r["missing"], r["stats"])
             assert r["data"] == f
         assert any(s.gen > 0 for s in rx.streams), "no speculative rollback occurred"
+
+
+class TestWholeRoundFastPath:
+    """The O(streams) whole-round consume fast path (every slot of a round a
+    CRC-valid full chunk inside the window) must leave the receiver in
+    exactly the state the per-slot path would."""
+
+    def _transfer(self, monkeypatch, disable_classify: bool):
+        import audio_modem_tpu.parallel.multi_receiver as mr
+
+        if disable_classify:
+            monkeypatch.setattr(mr, "_classify_round", lambda *a, **k: None)
+        mode = MODES["QPSK"]
+        rng = np.random.default_rng(977)
+        f = rng.bytes(mode.chunk_size * 24)
+        sig = np.concatenate(list(api.encode_chunked(f, mode, "e.bin", batch=12)))
+        # stream 1 sees a stale duplicate burst mid-transfer (re-sent frames)
+        frames = list(api.encode_chunked(f, mode, "e.bin", batch=12))
+        dup = np.concatenate(frames[:3] + frames[1:])
+        rx = BatchReceiver(
+            mode, 2, scan_bucket=65536, device_ingest=True,
+            frames_per_round=4, pipeline_depth=4,
+        )
+        _feed_batch(rx, [sig, dup], block=32768)
+        state = [
+            (
+                s.assembler.received_count,
+                s.assembler.bitmap().tolist(),
+                s.stats.frames_decoded,
+                s.state,
+            )
+            for s in rx.streams
+        ]
+        out = [r["data"] for r in rx.results()]
+        ok = all(r["complete"] for r in rx.results())
+        rx.cleanup()
+        return f, out, state, ok
+
+    def test_state_equivalence_vs_per_slot_path(self, monkeypatch):
+        f, out_fast, st_fast, ok_fast = self._transfer(monkeypatch, False)
+        f2, out_slow, st_slow, ok_slow = self._transfer(monkeypatch, True)
+        assert ok_fast and ok_slow
+        assert out_fast == out_slow == [f, f]
+        assert st_fast == st_slow

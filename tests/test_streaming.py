@@ -98,6 +98,43 @@ class TestAssembler:
         assert asm2.assemble()[:64] == b"x" * 32 + b"y" * 32
         asm2.cleanup()
 
+    def test_batch_store_and_async_writer(self, tmp_path):
+        """store_valid_chunks (whole-round consume fast path) + the shared
+        AsyncBatchWriter: duplicate/overrun suppression, read-your-writes
+        through the barrier, durability across resume, writer error surfaced."""
+        import numpy as np
+
+        from audio_modem_tpu.runtime.assembler import AsyncBatchWriter
+
+        db = str(tmp_path / "c4.db")
+        w = AsyncBatchWriter()
+        asm = ChunkAssembler(db, writer=w)
+        asm.handle_metadata(self._meta(n=6, size=192, csize=32))
+        rows = np.arange(4 * 40, dtype=np.uint8).reshape(4, 40)
+        assert asm.store_valid_chunks(np.array([0, 1, 1, 9]), rows, 7, 32) == 2
+        assert asm.received_count == 2  # dup seq 1 + overrun 9 suppressed
+        # reads flush the pending buffer AND drain the writer queue first
+        got = asm.assemble()
+        assert got[:32] == rows[0, 7:39].tobytes()
+        assert got[32:64] == rows[1, 7:39].tobytes()
+        # handle_data_chunk with a writer defers through the same buffer
+        asm.handle_data_chunk(DataFrame(2, b"z" * 32, True))
+        asm.cleanup()
+        asm2 = ChunkAssembler(db, resume=True)
+        assert asm2.received_count == 3
+        assert asm2.assemble()[64:96] == b"z" * 32
+        asm2.cleanup()
+        # a writer-side failure (connection already closed) surfaces at the
+        # next barrier, not silently
+        import sqlite3
+
+        dead = sqlite3.connect(":memory:", check_same_thread=False)
+        dead.close()
+        w.submit(dead, [(0, b"x")])
+        with pytest.raises(sqlite3.ProgrammingError):
+            w.barrier()
+        w.close()
+
     def test_new_metadata_clears(self, tmp_path):
         db = str(tmp_path / "c2.db")
         asm = ChunkAssembler(db)
