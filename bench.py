@@ -204,7 +204,7 @@ def main() -> None:
         # stdout, and round 3's inline details dict outgrew it — the
         # official BENCH_r03.json recorded "parsed: null" with the headline
         # truncated mid-JSON (VERDICT r3 weak #1).
-        details_path = os.environ.get("AMT_BENCH_DETAILS", "docs/bench_r4_local.json")
+        details_path = os.environ.get("AMT_BENCH_DETAILS", "docs/bench_r5_local.json")
         try:
             with open(details_path, "w") as f:
                 json.dump({**headline, "details": details}, f, indent=2)
